@@ -1,0 +1,72 @@
+"""Heightfield sampling as pure array ops.
+
+Terrain layout matches the reference convention: a (n, n) grid `T[i, j]` with
+row index i along +y and column index j along +x, covering the square
+[-E, E] x [-E, E] (E = half extent, 5 m), elevation z = zscale * T (T in
+[0, 1]). The reference writes exactly this flattened grid into MuJoCo's
+`model.hfield_data` (ballbot_env.py:513; ballbot.xml:23).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def world_to_grid(x, y, n: int, half_extent: float):
+    """Continuous (col, row) grid coordinates for world (x, y)."""
+    gx = (x + half_extent) / (2.0 * half_extent) * (n - 1)
+    gy = (y + half_extent) / (2.0 * half_extent) * (n - 1)
+    return gx, gy
+
+
+def sample_height_grad(terrain: jnp.ndarray, x, y, half_extent: float, zscale):
+    """Bilinear height and its world-space gradient at world (x, y).
+
+    terrain: (n, n) in [0,1].
+    Returns (h, dh_dx, dh_dy) in meters / dimensionless slope.
+    """
+    n = terrain.shape[-1]
+    gx, gy = world_to_grid(x, y, n, half_extent)
+    gx = jnp.clip(gx, 0.0, n - 1.001)
+    gy = jnp.clip(gy, 0.0, n - 1.001)
+    j0 = jnp.floor(gx).astype(jnp.int32)
+    i0 = jnp.floor(gy).astype(jnp.int32)
+    j1 = jnp.minimum(j0 + 1, n - 1)
+    i1 = jnp.minimum(i0 + 1, n - 1)
+    fx = gx - j0.astype(gx.dtype)
+    fy = gy - i0.astype(gy.dtype)
+
+    t00 = terrain[..., i0, j0]
+    t01 = terrain[..., i0, j1]
+    t10 = terrain[..., i1, j0]
+    t11 = terrain[..., i1, j1]
+
+    h01 = t00 * (1 - fx) + t01 * fx          # row i0
+    h23 = t10 * (1 - fx) + t11 * fx          # row i1
+    h = (h01 * (1 - fy) + h23 * fy) * zscale
+
+    cell = 2.0 * half_extent / (n - 1)
+    dh_dx = (((t01 - t00) * (1 - fy) + (t11 - t10) * fy) * zscale) / cell
+    dh_dy = ((h23 - h01) * zscale) / cell
+    return h, dh_dx, dh_dy
+
+
+def surface_normal(dh_dx, dh_dy):
+    """Unit upward normal of the surface z = h(x, y)."""
+    inv = 1.0 / jnp.sqrt(1.0 + dh_dx * dh_dx + dh_dy * dh_dy)
+    return jnp.stack([-dh_dx * inv, -dh_dy * inv, inv], axis=-1)
+
+
+def spawn_height_offset(terrain: jnp.ndarray, zscale, window: int = 6,
+                        eps: float = 0.01):
+    """Initial robot/ball height offset: max terrain height in a +-window cell
+    neighborhood of the grid center, + eps.
+
+    Mirrors the reference spawn rule (ballbot_env.py:540-563): max terrain
+    height under the ball's AABB plus a 1 cm safety margin. The reference's
+    index arithmetic uses cell_size = half_extent/n, yielding a +-6 cell
+    window for the 0.09 m ball; we reproduce that window.
+    """
+    n = terrain.shape[-1]
+    c = n // 2
+    sub = terrain[..., c - window:c + window + 1, c - window:c + window + 1]
+    return jnp.max(sub, axis=(-2, -1)) * zscale + eps
