@@ -1,0 +1,84 @@
+"""Headline benchmark: env-step throughput of the batched rollout path.
+
+Measures policy-in-the-loop environment stepping (Gaussian policy forward +
+full RK4 contact physics + obs/reward/termination + auto-reset) — the same
+quantity as the reference's SB3 `time/fps` column, which sustains ~203
+steps/s with 10 SubprocVecEnv processes (BASELINE.md). Runs on whatever
+jax.devices() provides (the real TPU chip under the driver).
+
+Prints exactly one JSON line:
+  {"metric": "env_steps_per_sec", "value": N, "unit": "steps/s",
+   "vs_baseline": N/203}
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from openballbot_rl_tpu.core.factories import create_terrain
+    from openballbot_rl_tpu.envs import BallbotEnv, EnvParams, make_terrain_bank
+    from openballbot_rl_tpu.nn.networks import ActorCritic, sample_action
+
+    B = int(os.environ.get("BENCH_ENVS", "4096"))
+    T = int(os.environ.get("BENCH_STEPS", "100"))
+    REPS = int(os.environ.get("BENCH_REPS", "5"))
+
+    env = BallbotEnv(EnvParams())          # 4000-step episodes, 20 deg tilt
+    gen = create_terrain({"type": "perlin", "config": {
+        "scale": 25.0, "octaves": 4, "persistence": 0.2, "lacunarity": 2.0}})
+    bank = make_terrain_bank(gen, env.model.hfield_n, 2.0,
+                             jax.random.PRNGKey(0), 64)
+
+    net = ActorCritic(use_batchnorm=False)
+    states, obs = jax.jit(env.batch_reset)(bank, jax.random.split(jax.random.PRNGKey(1), B))
+    params = net.init(jax.random.PRNGKey(2), jax.tree.map(lambda x: x[0], obs))
+
+    @jax.jit
+    def rollout(params, states, obs, key):
+        def f(carry, _):
+            states, obs, key = carry
+            key, k = jax.random.split(key)
+            mean, log_std, _ = net.apply(params, obs)
+            actions = jnp.clip(sample_action(k, mean, log_std), -1, 1)
+            states, obs, reward, done, _ = env.batch_step(bank, states, actions)
+            return (states, obs, key), (reward.mean(), done.sum())
+        (states, obs, key), (rew, dones) = jax.lax.scan(
+            f, (states, obs, key), None, length=T)
+        return states, obs, rew.mean(), dones.sum()
+
+    key = jax.random.PRNGKey(3)
+    t0 = time.time()
+    states, obs, rmean, dsum = rollout(params, states, obs, key)
+    jax.block_until_ready(rmean)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(REPS):
+        states, obs, rmean, dsum = rollout(params, states, obs, key)
+    jax.block_until_ready(rmean)
+    dt = (time.time() - t0) / REPS
+
+    steps_per_sec = B * T / dt
+    sys.stderr.write(
+        f"[bench] device={jax.devices()[0]} B={B} T={T} compile={compile_s:.1f}s "
+        f"iter={dt*1e3:.1f}ms reward_mean={float(rmean):+.4f} dones={int(dsum)}\n")
+    print(json.dumps({
+        "metric": "env_steps_per_sec",
+        "value": round(steps_per_sec),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / 203.0, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,200 @@
+"""`ballbot-train`: the training entry point.
+
+Counterpart of the reference trainer (ballbot_rl/training/train.py:36-326):
+YAML config -> env + PPO, timestamped run dir with config.yaml/info.txt dump,
+CSV + stdout logging, periodic deterministic evaluation with best-model
+checkpointing and evaluations.npz, periodic full-state checkpoints, resume.
+
+TPU-first differences: envs are a sharded batch axis on a device mesh instead
+of subprocesses; the whole collect+update iteration is one jitted program; a
+checkpoint restores the complete runner state (exact resume).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import random
+import sys
+import time
+from datetime import datetime
+from typing import Dict, Optional
+
+import numpy as np
+import yaml
+
+
+def main(config: Dict, seed: int, out_dir: Optional[str] = None,
+         max_iterations: Optional[int] = None, verbose: bool = True) -> str:
+    import jax
+    import jax.numpy as jnp
+
+    from openballbot_rl_tpu.envs import make_env_from_config, make_terrain_bank
+    from openballbot_rl_tpu.nn.networks import ActorCritic
+    from openballbot_rl_tpu.parallel.mesh import (
+        make_mesh, replicate, shard_env_axis)
+    from openballbot_rl_tpu.train import PPO, PPOConfig
+    from openballbot_rl_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+    from openballbot_rl_tpu.utils.logging import CSVLogger, EvalLog, Stopwatch
+
+    algo_cfg = config.get("algo", {})
+    cfg = PPOConfig(
+        num_envs=int(config.get("num_envs", 10)),
+        n_steps=int(algo_cfg.get("n_steps", 2048)),
+        batch_size=int(algo_cfg.get("batch_sz", 256)),
+        n_epochs=int(algo_cfg.get("n_epochs", 5)),
+        gamma=float(algo_cfg.get("gamma", 0.99)),
+        gae_lambda=float(algo_cfg.get("gae_lambda", 0.95)),
+        clip_range=float(algo_cfg.get("clip_range", 0.015)),
+        ent_coef=float(algo_cfg.get("ent_coef", 0.001)),
+        vf_coef=float(algo_cfg.get("vf_coef", 2.0)),
+        target_kl=float(algo_cfg.get("target_kl", 0.3)),
+        weight_decay=float(algo_cfg.get("weight_decay", 0.01)),
+        learning_rate=float(algo_cfg.get("learning_rate", -1)),
+        normalize_advantage=bool(algo_cfg.get("normalize_advantage", False)),
+        total_timesteps=int(float(config.get("total_timesteps", 8e6))),
+    )
+
+    from openballbot_rl_tpu.envs import make_env_from_config
+
+    env, terrain_gen = make_env_from_config(config)
+
+    hidden = tuple(config.get("policy", {}).get("config", {}).get(
+        "hidden_sizes", [128, 128, 128, 128]))
+    network = ActorCritic(hidden=hidden, use_batchnorm=False)
+    algo = PPO(env, cfg, network)
+
+    bank_size = int(config.get("terrain_bank_size", 64))
+    terrain_cfg = config.get("problem", {}).get("terrain", {})
+    fixed_seed = (terrain_cfg.get("config", {}) or {}).get("seed")
+    key = jax.random.PRNGKey(seed)
+    key, k_bank, k_init, k_eval = jax.random.split(key, 4)
+    bank = make_terrain_bank(terrain_gen, env.model.hfield_n, env.params.zscale,
+                             k_bank, bank_size, fixed_seed=fixed_seed)
+
+    # run dir (train.py:169-219)
+    if out_dir is None:
+        stamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+        out_dir = os.path.join("outputs", "experiments", "runs",
+                               f"{stamp}_ppo_seed{seed}")
+    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "results"), exist_ok=True)
+    with open(os.path.join(out_dir, "config.yaml"), "w") as f:
+        yaml.safe_dump(config, f)
+    with open(os.path.join(out_dir, "info.txt"), "w") as f:
+        f.write(f"seed: {seed}\nppo: {dataclasses.asdict(cfg)}\n"
+                f"devices: {jax.devices()}\nstarted: {datetime.now()}\n")
+
+    rs = algo.init(bank, k_init)
+    resume = config.get("resume", "")
+    if resume:
+        print(f"resuming full runner state from {resume}")
+        rs = restore_checkpoint(resume, rs)
+
+    # shard envs over available devices when >1
+    mesh = None
+    if len(jax.devices()) > 1 and cfg.num_envs % len(jax.devices()) == 0:
+        mesh = make_mesh()
+        rs = rs.replace(env_states=shard_env_axis(rs.env_states, mesh),
+                        obs=shard_env_axis(rs.obs, mesh),
+                        params=replicate(rs.params, mesh),
+                        opt_state=replicate(rs.opt_state, mesh))
+        bank = replicate(bank, mesh)
+
+    n_params = sum(x.size for x in jax.tree.leaves(rs.params))
+    if verbose:
+        print(f"run dir: {out_dir}")
+        print(f"devices: {jax.devices()}  params: {n_params:,}")
+        print(f"updates per rollout: ~{cfg.n_epochs * cfg.minibatches_per_epoch}")
+
+    eval_cfg = config.get("evaluation", {}) or {}
+    eval_freq = int(eval_cfg.get("freq", 5000))
+    n_eval_episodes = int(eval_cfg.get("n_episodes", 8))
+    ckpt_freq = int(config.get("checkpoint_freq", 20000))
+
+    csvlog = CSVLogger(os.path.join(out_dir, "progress.csv"))
+    evallog = EvalLog(os.path.join(out_dir, "results"))
+    watch = Stopwatch()
+    best_eval = -np.inf
+    next_eval = 0
+    next_ckpt = 0
+    iteration = 0
+
+    steps_per_iter = cfg.num_envs * cfg.n_steps
+    while int(rs.global_step) < cfg.total_timesteps:
+        if max_iterations is not None and iteration >= max_iterations:
+            break
+        rs, metrics = algo.train_iteration(rs, bank)
+        iteration += 1
+        gs = int(rs.global_step)
+        fps = watch.fps(gs)
+
+        row = {
+            "time/total_timesteps": gs,
+            "time/iterations": iteration,
+            "time/fps": round(fps),
+            "time/time_elapsed": round(watch.elapsed()),
+            "rollout/ep_rew_mean": float(metrics["ep_return_mean"]),
+            "rollout/ep_len_mean": float(metrics["ep_len_mean"]),
+            "train/policy_gradient_loss": float(metrics["pg_loss"]),
+            "train/value_loss": float(metrics["v_loss"]),
+            "train/entropy": float(metrics["entropy"]),
+            "train/approx_kl": float(metrics["approx_kl"]),
+            "train/clip_fraction": float(metrics["clip_fraction"]),
+            "train/learning_rate": float(metrics["lr"]),
+        }
+
+        if gs >= next_eval:
+            next_eval = gs + eval_freq
+            k_eval, k = jax.random.split(k_eval)
+            ev = algo.evaluate(rs.params, bank, n_eval_episodes,
+                               env.params.max_ep_steps, k)
+            evallog.add(gs, np.asarray(ev["rewards"]), np.asarray(ev["lengths"]))
+            row["eval/mean_reward"] = float(ev["mean_reward"])
+            row["eval/mean_ep_length"] = float(ev["mean_ep_length"])
+            if float(ev["mean_reward"]) > best_eval:
+                best_eval = float(ev["mean_reward"])
+                save_checkpoint(os.path.join(out_dir, "best_model"), rs)
+                if verbose:
+                    print(f"  new best eval {best_eval:.2f} @ {gs} -> best_model")
+
+        if gs >= next_ckpt:
+            next_ckpt = gs + ckpt_freq
+            save_checkpoint(os.path.join(out_dir, "checkpoints",
+                                         f"step_{gs}"), rs)
+
+        csvlog.log(row)
+        if verbose:
+            print(f"iter {iteration} step {gs} fps {row['time/fps']} "
+                  f"ep_rew {row['rollout/ep_rew_mean']:.2f} "
+                  f"ep_len {row['rollout/ep_len_mean']:.0f} "
+                  f"kl {row['train/approx_kl']:.4f}")
+
+    save_checkpoint(os.path.join(out_dir, "final_model"), rs)
+    return out_dir
+
+
+def cli_main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="Train ballbot PPO (TPU-native)")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--out", default=None)
+    parser.add_argument("--max-iterations", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    from openballbot_rl_tpu.core.config import load_training_config
+
+    config = load_training_config(args.config)
+    seed = args.seed if args.seed is not None else int(config.get("seed", 10))
+    if seed == -1:
+        print("seed -1 is not allowed; pass an explicit seed", file=sys.stderr)
+        return 2  # train.py:289-326 refuses seed=-1
+    random.seed(seed)
+    np.random.seed(seed)
+    main(config, seed, out_dir=args.out or (config.get("out") or None),
+         max_iterations=args.max_iterations)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(cli_main())

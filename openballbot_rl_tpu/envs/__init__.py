@@ -1,0 +1,6 @@
+from openballbot_rl_tpu.envs.env import (
+    BallbotEnv, EnvParams, EnvState, TerrainBank, make_env_from_config,
+    make_terrain_bank)
+
+__all__ = ["BallbotEnv", "EnvParams", "EnvState", "TerrainBank",
+           "make_env_from_config", "make_terrain_bank"]

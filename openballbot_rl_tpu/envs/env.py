@@ -1,0 +1,303 @@
+"""Functional ballbot environment: pure reset/step over struct-of-arrays state.
+
+TPU-first counterpart of the reference Gym env (ballbot_gym/envs/
+ballbot_env.py, the 1137-line BBotSimulation). Instead of a stateful object
+stepped one process per env (SubprocVecEnv, train.py:82-97), the env is a pair
+of pure functions
+
+    reset: (params, bank, key)           -> (EnvState, obs)
+    step:  (params, bank, EnvState, act) -> (EnvState, obs, reward, done, info)
+
+vmapped over thousands of envs and scanned over time, entirely on device.
+
+Reference semantics preserved (SURVEY.md §2.5 quirk list):
+  1. action sign flip: applied torque = -(10 * action), clipped (+-10)
+     (ballbot_env.py:901-907).
+  3. obs clipping: vel / angular_vel clipped to +-2; motor_state =
+     wheel_vel / max_wheel_velocity clipped +-2 (:783-800).
+  5. max-steps end reported as terminated (never truncated) (:982-985).
+  6. survival bonus +0.02 only when not tilted; directional term * 0.01;
+     action reg -0.0001 * ||a||^2 (:929-1020).
+  7. tilt failure: angle(base up, -gravity) > 20 deg (:987-1017).
+  8. spawn height: max terrain height in the ball window + 1 cm (:528-565);
+     ramp/gradient terrains get a config-derived vertical scale (:486-498).
+  9. per-episode terrain seed drawn from the env RNG in [0, 10000) (:504-513).
+
+Conscious deviations (documented):
+  * cvel convention: the reference reads data.cvel[:3] as "linear velocity"
+    (:794-796), but MuJoCo's cvel is [angular; linear] — so the repo actually
+    rewards base *angular* velocity, contradicting its own docstrings and the
+    paper. Default here is the paper-correct mapping (obs["vel"] = linear
+    velocity of the robot COM); set EnvParams.cvel_swap=True to reproduce the
+    repo's literal behavior.
+  * terrain bank: fresh per-episode terrain generation inside a vmapped step
+    would regenerate for every env every step. Instead episodes draw uniformly
+    from a bank of pre-generated terrains (one per seed); the bank is
+    regenerated on the host/per-iteration cadence. With bank_size >= 64 the
+    training distribution is statistically equivalent to the reference's
+    seed in [0, 10000) draw; exact per-episode regeneration remains available
+    for evaluation via bank_size=1 + fixed seed.
+  * auto-reset: a done env is re-initialized in the same step call (standard
+    scan-time RL); the obs returned alongside done=True is the *new* episode's
+    first obs. The reference never bootstraps terminated episodes (quirk 5 —
+    SB3 sees terminated=True even at max steps), so the learner needs no
+    terminal-observation channel.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from openballbot_rl_tpu.physics import hfield as hf
+from openballbot_rl_tpu.physics.engine import (
+    ContactParams, PhysState, init_state, step as phys_step)
+from openballbot_rl_tpu.physics.model import BallbotModel, make_model
+from openballbot_rl_tpu.physics.rotations import quat_to_mat, quat_to_rotvec
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvParams:
+    """Static env configuration (closed over by jit). Mirrors the reference
+    env kwargs/env_config (ballbot_env.py:157-249)."""
+    max_ep_steps: int = 4000            # ballbot_env.py:221
+    max_allowed_tilt: float = 20.0      # degrees, :222
+    max_wheel_velocity: float = 10.0    # :223
+    reward_scale: float = 0.01          # :229
+    action_reg_coef: float = -0.0001    # :230
+    survival_bonus: float = 0.02        # :231
+    cvel_swap: bool = False             # reproduce repo cvel bug (see module doc)
+    physics_substeps: int = 1           # physics steps per env step (1 = 500 Hz ctrl)
+    zscale: float = 2.0                 # hfield vertical scale (ballbot.xml:23)
+
+
+@struct.dataclass
+class EnvState:
+    phys: PhysState
+    step_counter: jnp.ndarray      # int32
+    prev_action: jnp.ndarray       # (3,)
+    terrain_idx: jnp.ndarray       # int32 index into the bank
+    rng: jnp.ndarray               # PRNG key
+    episode_return: jnp.ndarray    # G_tau accumulator (ballbot_env.py:1024)
+    time: jnp.ndarray              # sim time (s)
+
+
+@struct.dataclass
+class TerrainBank:
+    """Pre-generated terrains + spawn offsets. heights: (K, n, n) in [0,1]."""
+    heights: jnp.ndarray
+    spawn_offsets: jnp.ndarray     # (K,)
+    seeds: jnp.ndarray             # (K,) int32 (for logging/repro)
+
+
+def make_terrain_bank(gen: Callable, n: int, zscale: float, key,
+                      bank_size: int, fixed_seed: Optional[int] = None,
+                      ) -> TerrainBank:
+    """Generate a bank of terrains with per-episode seed semantics.
+
+    gen: a configured terrain closure (core.factories.create_terrain output).
+    Seeds are drawn uniformly from [0, 10000) like the reference
+    (ballbot_env.py:506) unless fixed_seed is given.
+    """
+    if fixed_seed is not None:
+        seeds = jnp.full((bank_size,), int(fixed_seed), jnp.int32)
+    else:
+        seeds = jax.random.randint(key, (bank_size,), 0, 10000)
+
+    def one(seed):
+        return jnp.asarray(gen(n, seed=seed), jnp.float32).reshape(n, n)
+
+    heights = jax.vmap(one)(seeds)
+    offsets = jax.vmap(lambda t: hf.spawn_height_offset(t, zscale))(heights)
+    return TerrainBank(heights=heights, spawn_offsets=offsets, seeds=seeds)
+
+
+class BallbotEnv:
+    """Binds model + params + components into jittable reset/step functions.
+
+    All methods are pure (state in, state out) and vmap/scan compatible; the
+    object itself is static configuration resolved before tracing (the
+    registry/factory layer runs at construction, not at trace time).
+    """
+
+    def __init__(self,
+                 params: EnvParams = EnvParams(),
+                 reward_fn: Optional[Callable[[Dict], jnp.ndarray]] = None,
+                 model: Optional[BallbotModel] = None,
+                 contact_params: ContactParams = ContactParams()):
+        self.params = params
+        self.model = (model or make_model()).as_jnp()
+        self.cp = contact_params
+        if reward_fn is None:
+            from openballbot_rl_tpu.rewards import DirectionalReward
+            reward_fn = DirectionalReward(jnp.array([0.0, 1.0]))
+        self.reward_fn = reward_fn
+        # constant COM offset of the whole robot in the base frame (for the
+        # linear-velocity obs; see module doc on cvel)
+        import numpy as np
+        m = self.model
+        com = (float(m.m_base) * np.asarray(m.com_base)
+               + float(m.m_wheel) * np.asarray(m.wheel_com).sum(0))
+        self._robot_com_b = jnp.asarray(
+            com / (float(m.m_base) + 3 * float(m.m_wheel)), jnp.float32)
+
+    # ---------- observation ----------
+    def obs_keys(self) -> Tuple[str, ...]:
+        return ("orientation", "angular_vel", "vel", "motor_state", "actions")
+
+    def _get_obs(self, s: PhysState, last_action: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        p = self.params
+        rot_vec = quat_to_rotvec(s.base_quat)              # ballbot_env.py:778-779
+        omega = s.base_angvel
+        v_com = s.base_vel + jnp.cross(
+            omega, quat_to_mat(s.base_quat) @ self._robot_com_b)
+        omega_c = jnp.clip(omega, -2.0, 2.0)
+        v_c = jnp.clip(v_com, -2.0, 2.0)                   # :799-800
+        if p.cvel_swap:                                    # repo behavior
+            vel_obs, angvel_obs = omega_c, v_c
+        else:                                              # paper-correct
+            vel_obs, angvel_obs = v_c, omega_c
+        motor_state = jnp.clip(s.wheel_vel / p.max_wheel_velocity, -2.0, 2.0)
+        return {
+            "orientation": rot_vec,
+            "angular_vel": angvel_obs,
+            "vel": vel_obs,
+            "motor_state": motor_state,
+            "actions": last_action,
+        }
+
+    # ---------- reset ----------
+    def reset(self, bank: TerrainBank, key) -> Tuple[EnvState, Dict]:
+        k_terr, k_state = jax.random.split(key)
+        idx = jax.random.randint(k_terr, (), 0, bank.heights.shape[0])
+        phys = init_state(self.model, bank.spawn_offsets[idx])
+        state = EnvState(
+            phys=phys,
+            step_counter=jnp.zeros((), jnp.int32),
+            prev_action=jnp.zeros(3, jnp.float32),
+            terrain_idx=idx,
+            rng=k_state,
+            episode_return=jnp.zeros((), jnp.float32),
+            time=jnp.zeros((), jnp.float32),
+        )
+        return state, self._get_obs(phys, state.prev_action)
+
+    # ---------- step ----------
+    def step(self, bank: TerrainBank, state: EnvState, action: jnp.ndarray,
+             ) -> Tuple[EnvState, Dict, jnp.ndarray, jnp.ndarray, Dict]:
+        p = self.params
+        m = self.model
+        # point-sampler over the bank: avoids materializing a per-env
+        # (n, n) terrain slice under vmap (see hfield.make_sampler)
+        terrain = hf.make_sampler(bank.heights, state.terrain_idx,
+                                  m.hfield_half_extent, p.zscale)
+
+        # action pipeline (ballbot_env.py:901-907): scale, clip, negate
+        ctrl = jnp.clip(action * p.max_wheel_velocity,
+                        -p.max_wheel_velocity, p.max_wheel_velocity)
+        torque = -ctrl
+
+        phys = state.phys
+        for _ in range(p.physics_substeps):
+            phys = phys_step(m, self.cp, terrain, p.zscale, phys, torque)
+
+        action_f = action.astype(jnp.float32)
+        obs = self._get_obs(phys, action_f)
+
+        # reward terms (:924-937)
+        reward = self.reward_fn(obs) * p.reward_scale
+        reward = reward + p.action_reg_coef * jnp.sum(action_f ** 2)
+
+        step_counter = state.step_counter + 1
+        hit_max = step_counter >= p.max_ep_steps           # :982-985
+
+        # tilt (:987-1017): angle between base up axis and -gravity
+        R = quat_to_mat(phys.base_quat)
+        tilt_cos = R[2, 2]
+        tilted = tilt_cos < jnp.cos(jnp.radians(p.max_allowed_tilt))
+        reward = reward + jnp.where(tilted, 0.0, p.survival_bonus)  # :1018-1020
+
+        done = jnp.logical_or(hit_max, tilted)
+        episode_return = state.episode_return + reward
+        info = {
+            "failure": tilted,
+            "step_counter": step_counter,
+            "pos2d": phys.base_pos[:2],
+            "episode_return": episode_return,
+            "terrain_seed": bank.seeds[state.terrain_idx],
+        }
+
+        # auto-reset (replaces Gym reset-on-done; see module doc)
+        next_key, reset_key = jax.random.split(state.rng)
+        carry_state = EnvState(
+            phys=phys,
+            step_counter=step_counter,
+            prev_action=action_f,
+            terrain_idx=state.terrain_idx,
+            rng=next_key,
+            episode_return=episode_return,
+            time=state.time + m.dt * p.physics_substeps,
+        )
+        reset_state, reset_obs = self.reset(bank, reset_key)
+        new_state = jax.tree.map(
+            lambda a, b: jnp.where(done, a, b), reset_state, carry_state)
+        new_obs = jax.tree.map(lambda a, b: jnp.where(done, a, b),
+                               reset_obs, obs)
+        return new_state, new_obs, reward, done, info
+
+    # ---------- convenience: batched closures ----------
+    def batch_reset(self, bank: TerrainBank, keys) -> Tuple[EnvState, Dict]:
+        return jax.vmap(lambda k: self.reset(bank, k))(keys)
+
+    def batch_step(self, bank: TerrainBank, states: EnvState, actions):
+        return jax.vmap(lambda s, a: self.step(bank, s, a))(states, actions)
+
+
+def make_env_from_config(config: Dict[str, Any],
+                         contact_params: ContactParams = ContactParams(),
+                         ) -> Tuple[BallbotEnv, Callable]:
+    """Build (env, terrain_generator) from a merged training/env config dict.
+
+    Mirrors the reference's config plumbing: terrain/reward from
+    problem.* (core/config.py:138-197), env knobs from env/camera sections
+    (ballbot_env.py:207-249), the ramp/gradient dynamic z-scale rule
+    (:486-498).
+    """
+    from openballbot_rl_tpu.core.config import get_component_config
+    from openballbot_rl_tpu.core.factories import create_reward, create_terrain
+    import math
+
+    terrain_cfg = get_component_config(config, "terrain", default_type="perlin")
+    reward_cfg = get_component_config(config, "reward", default_type="directional")
+    if reward_cfg["type"] == "directional" and "target_direction" not in reward_cfg["config"]:
+        reward_cfg = {"type": "directional",
+                      "config": {**reward_cfg["config"],
+                                 "target_direction": [0.0, 1.0]}}
+    env_settings = config.get("env", {}) or {}
+    reward_knobs = reward_cfg.get("config", {})
+
+    # dynamic z-scale for angle-based terrains (ballbot_env.py:486-498)
+    zscale = 2.0
+    tc = terrain_cfg.get("config", {})
+    if terrain_cfg["type"] == "ramp":
+        zscale = 2 * 5.0 * math.tan(math.radians(tc.get("ramp_angle", 15.0)))
+    elif terrain_cfg["type"] == "gradient":
+        zscale = 2 * 5.0 * math.tan(math.radians(tc.get("max_slope", 20.0)))
+
+    params = EnvParams(
+        max_ep_steps=int(env_settings.get("max_ep_steps", 4000)),
+        max_allowed_tilt=float(env_settings.get("max_allowed_tilt", 20.0)),
+        max_wheel_velocity=float(env_settings.get("max_wheel_velocity", 10.0)),
+        reward_scale=float(reward_knobs.get("scale", 0.01)),
+        action_reg_coef=float(reward_knobs.get("action_reg_coef", -0.0001)),
+        survival_bonus=float(reward_knobs.get("survival_bonus", 0.02)),
+        cvel_swap=bool(env_settings.get("cvel_swap", False)),
+        zscale=zscale,
+    )
+    env = BallbotEnv(params=params, reward_fn=create_reward(reward_cfg),
+                     contact_params=contact_params)
+    terrain_gen = create_terrain(terrain_cfg)
+    return env, terrain_gen

@@ -212,7 +212,15 @@ def _tangent_frame(n):
     return t1, t2
 
 
-def _contacts(model: BallbotModel, cp: ContactParams, terrain, zscale,
+def _as_sampler(model, terrain, zscale):
+    """Accept either an (n, n) height grid or a prebuilt point-sampler
+    callable (see hfield.make_sampler — the fast path for terrain banks)."""
+    if callable(terrain):
+        return terrain
+    return hf.make_sampler(terrain, None, model.hfield_half_extent, zscale)
+
+
+def _contacts(model: BallbotModel, cp: ContactParams, sampler,
               s: PhysState, t: _Terms):
     """Build the static 4-contact set as stacked row data.
 
@@ -230,8 +238,7 @@ def _contacts(model: BallbotModel, cp: ContactParams, terrain, zscale,
         return jnp.concatenate([d, jnp.cross(xc - bp, d)])
 
     # --- contact 0: ball <-> terrain ---
-    h, dhx, dhy = hf.sample_height_grad(terrain, bp[0], bp[1],
-                                        model.hfield_half_extent, zscale)
+    h, dhx, dhy = sampler(bp[0], bp[1])
     n0 = hf.surface_normal(dhx, dhy)
     gap = (bp[2] - h) * n0[2]          # approx distance from COM to surface
     depth0 = model.ball_radius - gap
@@ -278,9 +285,13 @@ def _contacts(model: BallbotModel, cp: ContactParams, terrain, zscale,
 
 def forward(model: BallbotModel, cp: ContactParams, terrain, zscale,
             s: PhysState, ctrl_torque):
-    """Forward dynamics: accelerations of all 15 DoF under contact forces."""
+    """Forward dynamics: accelerations of all 15 DoF under contact forces.
+
+    `terrain` may be an (n, n) grid or a point-sampler callable (zscale is
+    then ignored)."""
+    sampler = _as_sampler(model, terrain, zscale)
     t = _rigid_terms(model, s, ctrl_torque)
-    J_r, J_b, depth, mu = _contacts(model, cp, terrain, zscale, s, t)
+    J_r, J_b, depth, mu = _contacts(model, cp, sampler, s, t)
 
     u_r = jnp.concatenate([s.base_vel, s.base_angvel, s.wheel_vel])
     u_b = jnp.concatenate([s.ball_vel, s.ball_angvel])
@@ -354,7 +365,10 @@ def _axpy(s: PhysState, ds: PhysState, h: float) -> PhysState:
 
 def step(model: BallbotModel, cp: ContactParams, terrain, zscale,
          s: PhysState, ctrl_torque) -> PhysState:
-    """One RK4 physics step of model.dt (= 2 ms, 500 Hz)."""
+    """One RK4 physics step of model.dt (= 2 ms, 500 Hz).
+
+    `terrain` may be an (n, n) grid or a point-sampler callable."""
+    terrain = _as_sampler(model, terrain, zscale)
     dt = model.dt
     k1 = _deriv(model, cp, terrain, zscale, s, ctrl_torque)
     k2 = _deriv(model, cp, terrain, zscale, _axpy(s, k1, dt / 2), ctrl_torque)

@@ -24,30 +24,50 @@ def sample_height_grad(terrain: jnp.ndarray, x, y, half_extent: float, zscale):
     terrain: (n, n) in [0,1].
     Returns (h, dh_dx, dh_dy) in meters / dimensionless slope.
     """
-    n = terrain.shape[-1]
-    gx, gy = world_to_grid(x, y, n, half_extent)
-    gx = jnp.clip(gx, 0.0, n - 1.001)
-    gy = jnp.clip(gy, 0.0, n - 1.001)
-    j0 = jnp.floor(gx).astype(jnp.int32)
-    i0 = jnp.floor(gy).astype(jnp.int32)
-    j1 = jnp.minimum(j0 + 1, n - 1)
-    i1 = jnp.minimum(i0 + 1, n - 1)
-    fx = gx - j0.astype(gx.dtype)
-    fy = gy - i0.astype(gy.dtype)
+    sampler = make_sampler(terrain, None, half_extent, zscale)
+    return sampler(x, y)
 
-    t00 = terrain[..., i0, j0]
-    t01 = terrain[..., i0, j1]
-    t10 = terrain[..., i1, j0]
-    t11 = terrain[..., i1, j1]
 
-    h01 = t00 * (1 - fx) + t01 * fx          # row i0
-    h23 = t10 * (1 - fx) + t11 * fx          # row i1
-    h = (h01 * (1 - fy) + h23 * fy) * zscale
+def make_sampler(heights: jnp.ndarray, idx, half_extent: float, zscale):
+    """Build a point sampler fn(x, y) -> (h, dh_dx, dh_dy).
 
-    cell = 2.0 * half_extent / (n - 1)
-    dh_dx = (((t01 - t00) * (1 - fy) + (t11 - t10) * fy) * zscale) / cell
-    dh_dy = ((h23 - h01) * zscale) / cell
-    return h, dh_dx, dh_dy
+    heights: (n, n) with idx=None, or a bank (K, n, n) with idx a scalar
+    index. The bank form matters for performance: slicing `bank[idx]` under
+    vmap materializes a (B, n, n) gather (1.4 GB/step at B=4096); sampling
+    through `heights[idx, i, j]` instead keeps every tap a scalar gather.
+    """
+    n = heights.shape[-1]
+    if idx is None:
+        tap = lambda i, j: heights[i, j]
+    else:
+        tap = lambda i, j: heights[idx, i, j]
+
+    def sampler(x, y):
+        gx, gy = world_to_grid(x, y, n, half_extent)
+        gx = jnp.clip(gx, 0.0, n - 1.001)
+        gy = jnp.clip(gy, 0.0, n - 1.001)
+        j0 = jnp.floor(gx).astype(jnp.int32)
+        i0 = jnp.floor(gy).astype(jnp.int32)
+        j1 = jnp.minimum(j0 + 1, n - 1)
+        i1 = jnp.minimum(i0 + 1, n - 1)
+        fx = gx - j0.astype(gx.dtype)
+        fy = gy - i0.astype(gy.dtype)
+
+        t00 = tap(i0, j0)
+        t01 = tap(i0, j1)
+        t10 = tap(i1, j0)
+        t11 = tap(i1, j1)
+
+        h01 = t00 * (1 - fx) + t01 * fx          # row i0
+        h23 = t10 * (1 - fx) + t11 * fx          # row i1
+        h = (h01 * (1 - fy) + h23 * fy) * zscale
+
+        cell = 2.0 * half_extent / (n - 1)
+        dh_dx = (((t01 - t00) * (1 - fy) + (t11 - t10) * fy) * zscale) / cell
+        dh_dy = ((h23 - h01) * zscale) / cell
+        return h, dh_dx, dh_dy
+
+    return sampler
 
 
 def surface_normal(dh_dx, dh_dy):

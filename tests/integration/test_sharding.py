@@ -1,0 +1,72 @@
+"""Multi-device sharding tests on the 8-way virtual CPU mesh (SURVEY.md §2.4:
+env-batch data parallelism over a jax.sharding.Mesh; params replicated)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openballbot_rl_tpu.core.factories import create_terrain
+from openballbot_rl_tpu.envs import BallbotEnv, EnvParams, make_terrain_bank
+from openballbot_rl_tpu.parallel.mesh import (
+    env_sharding, make_mesh, replicate, shard_env_axis)
+from openballbot_rl_tpu.train import PPO, PPOConfig
+
+pytestmark = pytest.mark.integration
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) >= 8, "conftest must expose 8 virtual devices"
+    env = BallbotEnv(EnvParams(max_ep_steps=32))
+    gen = create_terrain({"type": "flat", "config": {}})
+    bank = make_terrain_bank(gen, env.model.hfield_n, 2.0,
+                             jax.random.PRNGKey(0), 1)
+    return env, bank
+
+
+def test_mesh_construction():
+    mesh = make_mesh(8)
+    assert mesh.shape == {"data": 8}
+
+
+def test_sharded_env_step_matches_single_device(setup):
+    env, bank = setup
+    mesh = make_mesh(8)
+    B = 16
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    states, obs = jax.jit(env.batch_reset)(bank, keys)
+    actions = jax.random.uniform(jax.random.PRNGKey(2), (B, 3), minval=-1, maxval=1)
+
+    ref_states, ref_obs, ref_r, ref_d, _ = jax.jit(env.batch_step)(bank, states, actions)
+
+    with mesh:
+        sh_states = shard_env_axis(states, mesh)
+        sh_bank = replicate(bank, mesh)
+        sh_actions = jax.device_put(actions, env_sharding(mesh))
+        out_states, out_obs, out_r, out_d, _ = jax.jit(env.batch_step)(
+            sh_bank, sh_states, sh_actions)
+        assert len(out_r.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(out_r), np.asarray(ref_r),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out_states.phys.base_pos),
+                                   np.asarray(ref_states.phys.base_pos),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_train_iteration(setup):
+    env, bank = setup
+    mesh = make_mesh(8)
+    cfg = PPOConfig(num_envs=16, n_steps=8, batch_size=32, n_epochs=1,
+                    total_timesteps=10_000)
+    algo = PPO(env, cfg)
+    rs = algo.init(bank, jax.random.PRNGKey(3))
+    with mesh:
+        rs = rs.replace(env_states=shard_env_axis(rs.env_states, mesh),
+                        obs=shard_env_axis(rs.obs, mesh),
+                        params=replicate(rs.params, mesh),
+                        opt_state=replicate(rs.opt_state, mesh))
+        sh_bank = replicate(bank, mesh)
+        rs2, metrics = algo.train_iteration(rs, sh_bank)
+        jax.block_until_ready(metrics["reward_mean"])
+    assert np.isfinite(float(metrics["pg_loss"]))
+    assert len(rs2.env_states.phys.base_pos.sharding.device_set) == 8
