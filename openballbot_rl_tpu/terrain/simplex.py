@@ -41,21 +41,21 @@ _PERM = np.array([
     184, 84, 204, 176, 115, 121, 50, 45, 127, 4, 150, 254, 138, 236, 205, 93,
     222, 114, 67, 29, 24, 72, 243, 141, 128, 195, 78, 66, 215, 61, 156, 180,
 ], dtype=np.int32)
-PERM512 = jnp.asarray(np.concatenate([_PERM, _PERM]))
+PERM512 = np.concatenate([_PERM, _PERM])  # numpy: no backend init at import
 
 # 8 gradient directions used by Gustavson's 2D simplex reference.
 _GRAD2 = np.array([
     (1, 1), (-1, 1), (1, -1), (-1, -1),
     (1, 0), (-1, 0), (0, 1), (0, -1),
 ], dtype=np.float32)
-GRAD2 = jnp.asarray(_GRAD2)
+GRAD2 = _GRAD2  # numpy: converted to a constant at trace time
 
 _F2 = 0.5 * (np.sqrt(3.0) - 1.0)
 _G2 = (3.0 - np.sqrt(3.0)) / 6.0
 
 
 def _grad_dot(hash_val, x, y):
-    g = GRAD2[hash_val & 7]
+    g = jnp.asarray(GRAD2)[hash_val & 7]
     return g[..., 0] * x + g[..., 1] * y
 
 
@@ -84,7 +84,7 @@ def snoise2(x, y, base=0):
     ii = (i & 255)
     jj = (j & 255)
     # base reseeds by offsetting the inner permutation lookup
-    p = PERM512
+    p = jnp.asarray(PERM512)
     gi0 = p[ii + p[(jj + base) & 255]]
     gi1 = p[ii + i1 + p[(jj + j1 + base) & 255]]
     gi2 = p[ii + 1 + p[(jj + 1 + base) & 255]]
