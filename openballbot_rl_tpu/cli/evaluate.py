@@ -1,0 +1,88 @@
+"""`ballbot-eval`: evaluate a trained model.
+
+Counterpart of ballbot_rl/evaluation/evaluate.py:172-229. Terrain resolution
+priority matches the reference (:51-76): CLI override > eval config >
+the terrain recorded in the run's config.yaml (the analogue of the
+`model.terrain_type` attribute SB3 pickles into the zip).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(model_path: str, eval_config: dict, terrain: str = "",
+         n_test: int = 10, seed: int = 0, verbose: bool = True) -> dict:
+    import jax
+    import yaml
+
+    from openballbot_rl_tpu.envs import make_env_from_config, make_terrain_bank
+    from openballbot_rl_tpu.eval.evaluate import evaluate_policy
+    from openballbot_rl_tpu.nn.networks import ActorCritic
+    from openballbot_rl_tpu.utils.checkpoint import load_params_raw
+
+    # terrain priority: CLI > eval config > run config next to the model
+    config = dict(eval_config or {})
+    run_cfg_path = os.path.join(os.path.dirname(os.path.abspath(model_path)),
+                                "config.yaml")
+    if not os.path.exists(run_cfg_path):
+        run_cfg_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(model_path))),
+            "config.yaml")
+    if os.path.exists(run_cfg_path):
+        with open(run_cfg_path) as f:
+            run_cfg = yaml.safe_load(f) or {}
+        merged = dict(run_cfg)
+        merged.update({k: v for k, v in config.items() if v})
+        config = merged
+        if verbose:
+            print(f"using run config {run_cfg_path}")
+    if terrain:
+        config.setdefault("problem", {})
+        config["problem"]["terrain"] = {"type": terrain, "config": {}}
+
+    env, terrain_gen = make_env_from_config(config)
+    params = load_params_raw(model_path)
+    net = ActorCritic(use_batchnorm=False)
+
+    key = jax.random.PRNGKey(seed)
+    k_bank, k_eval = jax.random.split(key)
+    terrain_cfg = (config.get("problem", {}) or {}).get("terrain", {})
+    fixed_seed = (terrain_cfg.get("config", {}) or {}).get("seed")
+    bank = make_terrain_bank(terrain_gen, env.model.hfield_n,
+                             env.params.zscale, k_bank,
+                             max(n_test, 8), fixed_seed=fixed_seed)
+    return evaluate_policy(env, net.apply, params, bank, k_eval,
+                           n_episodes=n_test,
+                           max_steps=env.params.max_ep_steps,
+                           verbose=verbose)
+
+
+def cli_main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Evaluate a trained ballbot model")
+    p.add_argument("--model", required=True, help="checkpoint dir (best_model/"
+                                                  "final_model/checkpoints/*)")
+    p.add_argument("--config", default="", help="eval YAML (default: "
+                                                "configs/eval/default.yaml)")
+    p.add_argument("--terrain", default="", help="terrain type override")
+    p.add_argument("--n-test", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from openballbot_rl_tpu.core.config import load_config
+
+    eval_cfg = {}
+    cfg_path = args.config or "configs/eval/default.yaml"
+    if os.path.exists(cfg_path):
+        eval_cfg = load_config(cfg_path)
+    elif args.config:
+        print(f"eval config not found: {args.config}", file=sys.stderr)
+        return 2
+    main(args.model, eval_cfg, terrain=args.terrain, n_test=args.n_test,
+         seed=args.seed)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(cli_main())

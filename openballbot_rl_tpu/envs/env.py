@@ -297,7 +297,31 @@ def make_env_from_config(config: Dict[str, Any],
         cvel_swap=bool(env_settings.get("cvel_swap", False)),
         zscale=zscale,
     )
-    env = BallbotEnv(params=params, reward_fn=create_reward(reward_cfg),
-                     contact_params=contact_params)
+    reward_fn = create_reward(reward_cfg)
     terrain_gen = create_terrain(terrain_cfg)
+
+    # camera path (reference camera config + effective-rate quantization,
+    # ballbot_env.py:207-224,389-413): frame_rate -> physics-step multiple
+    cam = config.get("camera", {}) or {}
+    if cam.get("enabled", False):
+        from openballbot_rl_tpu.envs.vision import VisionBallbotEnv, VisionParams
+
+        frame_rate = float(cam.get("frame_rate", 90.0))
+        frame_skip = max(1, math.ceil((1.0 / frame_rate) / 0.002 - 1e-9))
+        encode_fn = None
+        frozen = config.get("frozen_cnn", "") or ""
+        if frozen:
+            from openballbot_rl_tpu.encoders.training import make_frozen_encoder
+            encode_fn, _ = make_frozen_encoder(frozen)
+        vp = VisionParams(height=int(cam.get("height", 64)),
+                          width=int(cam.get("width", 64)),
+                          depth_only=bool(cam.get("disable_rgb", True)),
+                          frame_skip=frame_skip)
+        env = VisionBallbotEnv(params=params, vision=vp, encode_fn=encode_fn,
+                               reward_fn=reward_fn,
+                               contact_params=contact_params)
+        return env, terrain_gen
+
+    env = BallbotEnv(params=params, reward_fn=reward_fn,
+                     contact_params=contact_params)
     return env, terrain_gen

@@ -1,0 +1,154 @@
+"""Vision-enabled batched env: depth cameras + camera-throttling semantics.
+
+Extends the proprio BallbotEnv (envs/env.py) with the reference's camera
+observation path (ballbot_gym/envs/ballbot_env.py:745-767,824-827 and
+observation_spaces.py:9-64):
+
+  * two 64x64 depth cameras (sensors/depth.py raycaster) rendered at a
+    throttled cadence with a staleness scalar `relative_image_timestamp`;
+  * obs keys `rgbd_0`, `rgbd_1` shaped (C, H, W) in [0, 1] (depth_only: C=1)
+    — or, in frozen-encoder mode, `vision_0`/`vision_1` latent vectors.
+
+TPU-first design decisions (conscious deviations, documented):
+
+  1. Global render cadence. The reference renders per-env whenever
+     `data.time - prev_ts >= 1/frame_rate` (90 Hz config quantized by the
+     2 ms physics step to exactly every 6 steps = 83.3 Hz effective,
+     ballbot_env.py:389-413). A per-env condition under vmap becomes a
+     select that pays the full render every step, so instead ALL envs render
+     on a shared cadence derived from a lockstep `tick` counter that is
+     never reset: `batch_step` reads env 0's tick as a SCALAR predicate
+     before vmapping, which keeps the render inside a real `lax.cond` —
+     executed once every `frame_skip` steps for the whole batch. Net effect:
+     same 83.3 Hz refresh, same staleness signal; an episode that auto-resets
+     mid-cadence sees an image up to one interval stale.
+
+  2. Frozen-encoder feature caching. The reference's main training config
+     freezes a pretrained CNN encoder (mlp_policy.py:52-138), making image
+     features constant w.r.t. learned parameters. In that mode the env
+     applies the frozen encoder AT RENDER TIME and stores the (2, latent)
+     features in env state instead of (2, C, H, W) images — the PPO rollout
+     buffer then holds the paper's R^56 observation instead of 8 kB of
+     pixels per step, which is what makes vision training fit on-device at
+     thousands of parallel envs.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from openballbot_rl_tpu.envs.env import BallbotEnv, EnvParams, EnvState, TerrainBank
+from openballbot_rl_tpu.physics import hfield as hf
+from openballbot_rl_tpu.sensors.depth import DepthCameraConfig, DepthCameras
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionParams:
+    """Camera configuration (reference env kwargs im_shape/camera config,
+    ballbot_env.py:207-224)."""
+    height: int = 64
+    width: int = 64
+    depth_only: bool = True       # ballbot_env.py:123 default
+    frame_skip: int = 6           # 500 Hz / 6 = 83.3 Hz effective (90 Hz cfg)
+    latent_dim: int = 20
+
+
+@struct.dataclass
+class VisionEnvState:
+    core: EnvState
+    vision: jnp.ndarray            # (2, C, H, W) images or (2, latent) features
+    last_render_time: jnp.ndarray  # scalar f32 (sim time of last render)
+    tick: jnp.ndarray              # int32 lockstep step counter (never reset)
+
+
+class VisionBallbotEnv:
+    """Composes BallbotEnv with the depth raycaster. Signature-compatible
+    with BallbotEnv (reset/step/batch_reset/batch_step), so the PPO loop and
+    the training CLI work unchanged.
+
+    encode_fn: optional frozen encoder `(2, C, H, W) -> (2, latent)`; when
+    given, obs carries `vision_0`/`vision_1` latents instead of images.
+    """
+
+    def __init__(self, params: EnvParams = EnvParams(),
+                 vision: VisionParams = VisionParams(),
+                 encode_fn: Optional[Callable] = None,
+                 **env_kwargs):
+        self.env = BallbotEnv(params=params, **env_kwargs)
+        self.vp = vision
+        self.params = params
+        self.model = self.env.model
+        self.encode_fn = encode_fn
+        self.cams = DepthCameras(
+            DepthCameraConfig(height=vision.height, width=vision.width),
+            ball_radius=float(self.model.ball_radius))
+
+    # ---------- rendering ----------
+    def _render(self, bank: TerrainBank, core: EnvState) -> jnp.ndarray:
+        sampler = hf.make_sampler(bank.heights, core.terrain_idx,
+                                  self.model.hfield_half_extent,
+                                  self.params.zscale)
+        depth = self.cams(sampler, core.phys.base_pos, core.phys.base_quat,
+                          core.phys.ball_pos)                  # (2, H, W)
+        imgs = depth[:, None, :, :]                            # (2, 1, H, W)
+        if self.encode_fn is not None:
+            return self.encode_fn(imgs)                        # (2, latent)
+        return imgs
+
+    def _vision_obs(self, vision, time, last_render_time) -> Dict:
+        ts = (time - last_render_time)[None]
+        if self.encode_fn is not None:
+            return {"vision_0": vision[0], "vision_1": vision[1],
+                    "relative_image_timestamp": ts}
+        return {"rgbd_0": vision[0], "rgbd_1": vision[1],
+                "relative_image_timestamp": ts}
+
+    # ---------- reset ----------
+    def reset(self, bank: TerrainBank, key) -> Tuple[VisionEnvState, Dict]:
+        core, obs = self.env.reset(bank, key)
+        vision = self._render(bank, core)
+        state = VisionEnvState(core=core, vision=vision,
+                               last_render_time=jnp.zeros((), jnp.float32),
+                               tick=jnp.zeros((), jnp.int32))
+        obs.update(self._vision_obs(vision, core.time, state.last_render_time))
+        return state, obs
+
+    # ---------- step ----------
+    def step(self, bank: TerrainBank, state: VisionEnvState, action,
+             do_render=None) -> Tuple[VisionEnvState, Dict, jnp.ndarray,
+                                      jnp.ndarray, Dict]:
+        core, obs, reward, done, info = self.env.step(bank, state.core, action)
+        tick = state.tick + 1
+        if do_render is None:
+            do_render = tick % self.vp.frame_skip == 0
+
+        # refresh images on the cadence (or keep the stale frame)
+        def render(_):
+            return self._render(bank, core), core.time
+
+        def keep(_):
+            # a just-reset env keeps its previous frame until the next tick;
+            # its staleness clock restarts with the episode (time ~ 0)
+            return state.vision, jnp.minimum(state.last_render_time, core.time)
+
+        vision, lrt = jax.lax.cond(do_render, render, keep, None)
+        new_state = VisionEnvState(core=core, vision=vision,
+                                   last_render_time=lrt, tick=tick)
+        obs.update(self._vision_obs(vision, core.time, lrt))
+        return new_state, obs, reward, done, info
+
+    # ---------- batched closures ----------
+    def batch_reset(self, bank: TerrainBank, keys):
+        return jax.vmap(lambda k: self.reset(bank, k))(keys)
+
+    def batch_step(self, bank: TerrainBank, states, actions):
+        # lockstep cadence: env 0's tick is the global clock — extracting it
+        # BEFORE vmap keeps do_render a scalar, so the render stays a real
+        # lax.cond (1-in-frame_skip cost), not a per-env select
+        do_render = (states.tick[0] + 1) % self.vp.frame_skip == 0
+        return jax.vmap(lambda s, a: self.step(bank, s, a, do_render))(
+            states, actions)

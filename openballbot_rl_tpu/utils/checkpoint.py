@@ -32,3 +32,15 @@ def restore_checkpoint(path: str, target: Any) -> Any:
     return jax.tree.map(
         lambda t, r: jax.numpy.asarray(r, getattr(t, "dtype", None)),
         target, restored)
+
+
+def load_params_raw(path: str) -> Any:
+    """Load just the `params` subtree of a saved RunnerState checkpoint
+    without needing a full template (for eval/collect/visualization CLIs)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.restore(os.path.abspath(path))
+    if isinstance(tree, dict) and "params" in tree:
+        return tree["params"]
+    return tree

