@@ -119,6 +119,8 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
     next_eval = 0
     next_ckpt = 0
     iteration = 0
+    last_ep_rew = float("nan")
+    last_ep_len = float("nan")
 
     steps_per_iter = cfg.num_envs * cfg.n_steps
     while int(rs.global_step) < cfg.total_timesteps:
@@ -129,13 +131,19 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
         gs = int(rs.global_step)
         fps = watch.fps(gs)
 
+        # SB3-style ep_info_buffer: keep the last finished-episode stats on
+        # iterations where no episode ended (instead of printing 0.00)
+        if int(metrics["episodes"]) > 0:
+            last_ep_rew = float(metrics["ep_return_mean"])
+            last_ep_len = float(metrics["ep_len_mean"])
+
         row = {
             "time/total_timesteps": gs,
             "time/iterations": iteration,
             "time/fps": round(fps),
             "time/time_elapsed": round(watch.elapsed()),
-            "rollout/ep_rew_mean": float(metrics["ep_return_mean"]),
-            "rollout/ep_len_mean": float(metrics["ep_len_mean"]),
+            "rollout/ep_rew_mean": last_ep_rew,
+            "rollout/ep_len_mean": last_ep_len,
             "train/policy_gradient_loss": float(metrics["pg_loss"]),
             "train/value_loss": float(metrics["v_loss"]),
             "train/entropy": float(metrics["entropy"]),
