@@ -9,27 +9,25 @@ from __future__ import annotations
 import argparse
 import sys
 
-# curated parameter presets per terrain (reference browse_environments
-# PARAM_PRESETS / examples/terrain_examples.yaml)
-TERRAIN_PRESETS = {
-    "perlin": {"scale": 25.0, "octaves": 4, "persistence": 0.2,
-               "lacunarity": 2.0},
-    "stepped": {"num_levels": 5, "smoothing": 1},
-    "ramp": {"ramp_angle": 15.0, "direction": "x"},
-    "sinusoidal": {"amplitude": 0.3, "frequency": 2.0},
-    "ridge_valley": {"num_ridges": 4, "smoothing": 2},
-    "hills": {"num_hills": 8, "hill_radius": 0.12},
-    "bowl": {"depth": 0.5},
-    "gradient": {"gradient_type": "linear", "max_slope": 10.0},
-    "terraced": {"num_terraces": 6},
-    "wavy": {"num_waves": 3, "amplitude": 0.25},
-    "spiral": {"num_arms": 3, "amplitude": 0.3},
-    "mixed": {"terrains": [{"type": "perlin", "weight": 0.5,
-                            "config": {"scale": 30.0}},
-                           {"type": "hills", "weight": 0.5, "config": {}}],
-              "blend_mode": "weighted"},
-    "flat": {},
-}
+# curated parameter presets per terrain, loaded from the shared catalog
+# (examples/terrain_examples.yaml; parameter names match the generators)
+def _load_presets():
+    import os
+
+    import yaml
+
+    cand = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "examples",
+        "terrain_examples.yaml")
+    if os.path.exists(cand):
+        with open(cand) as f:
+            raw = yaml.safe_load(f) or {}
+        return {k: (v or {}).get("config", {}) for k, v in raw.items()}
+    return {"perlin": {"scale": 25.0, "octaves": 4, "persistence": 0.2,
+                       "lacunarity": 2.0}, "flat": {}}
+
+
+TERRAIN_PRESETS = _load_presets()
 
 
 def _menu(title, options):

@@ -25,7 +25,8 @@ import yaml
 
 
 def main(config: Dict, seed: int, out_dir: Optional[str] = None,
-         max_iterations: Optional[int] = None, verbose: bool = True) -> str:
+         max_iterations: Optional[int] = None, verbose: bool = True,
+         assume_yes: bool = False) -> str:
     import jax
     import jax.numpy as jnp
 
@@ -77,6 +78,12 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
         stamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
         out_dir = os.path.join("outputs", "experiments", "runs",
                                f"{stamp}_ppo_seed{seed}")
+    from openballbot_rl_tpu.train.interactive import confirm
+    if os.path.exists(os.path.join(out_dir, "progress.csv")):
+        # overwrite guard (reference train.py:272-281)
+        if not confirm(f"run dir {out_dir} already has results; overwrite?",
+                       assume_yes=assume_yes):
+            raise SystemExit("aborted")
     os.makedirs(out_dir, exist_ok=True)
     os.makedirs(os.path.join(out_dir, "results"), exist_ok=True)
     with open(os.path.join(out_dir, "config.yaml"), "w") as f:
@@ -105,7 +112,15 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
     if verbose:
         print(f"run dir: {out_dir}")
         print(f"devices: {jax.devices()}  params: {n_params:,}")
-        print(f"updates per rollout: ~{cfg.n_epochs * cfg.minibatches_per_epoch}")
+        updates = cfg.n_epochs * cfg.minibatches_per_epoch
+        print(f"updates per rollout: ~{updates}")
+        if updates > 400:
+            # advisory + confirm (reference train.py:248-281)
+            print(f"WARNING: {updates} gradient updates per rollout is high; "
+                  "consider a larger batch_sz or smaller n_steps")
+        if not confirm("start training?", default=True,
+                       assume_yes=assume_yes):
+            raise SystemExit("aborted")
 
     eval_cfg = config.get("evaluation", {}) or {}
     eval_freq = int(eval_cfg.get("freq", 5000))
@@ -188,6 +203,8 @@ def cli_main(argv=None) -> int:
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--out", default=None)
     parser.add_argument("--max-iterations", type=int, default=None)
+    parser.add_argument("-y", "--yes", action="store_true",
+                        help="skip interactive confirmations")
     args = parser.parse_args(argv)
 
     from openballbot_rl_tpu.core.config import load_training_config
@@ -200,7 +217,7 @@ def cli_main(argv=None) -> int:
     random.seed(seed)
     np.random.seed(seed)
     main(config, seed, out_dir=args.out or (config.get("out") or None),
-         max_iterations=args.max_iterations)
+         max_iterations=args.max_iterations, assume_yes=args.yes)
     return 0
 
 

@@ -356,10 +356,52 @@ def _as_sampler(model, terrain, zscale):
     return hf.make_sampler(terrain, None, model.hfield_half_extent, zscale)
 
 
-def _forward_scalar(c: _Consts, cp: ContactParams, sampler, s: PhysState,
+def _query_points(c: _Consts, s: PhysState):
+    """The 6 terrain query points (xy) for the static contact set: ball +
+    5 body spheres. Stacked so ONE sampler call covers them all."""
+    q = (s.base_quat[..., 0], s.base_quat[..., 1],
+         s.base_quat[..., 2], s.base_quat[..., 3])
+    R = quat_to_m3(q)
+    p = s3.unpack_v3(s.base_pos)
+    xs = [s.ball_pos[..., 0]]
+    ys = [s.ball_pos[..., 1]]
+    for center_b, _ in c.body_spheres:
+        cw = vadd(p, mvec(R, center_b))
+        xs.append(cw[0])
+        ys.append(cw[1])
+    return jnp.stack(xs, axis=-1), jnp.stack(ys, axis=-1)
+
+
+def _sample_planes(c: _Consts, sampler, s: PhysState):
+    """Sample the heightfield ONCE per control step at the 6 contact query
+    points (one vectorized gather instead of 6 points x 4 RK4 stages of
+    separate taps — the difference between 0.75M and multi-M env steps/s on
+    TPU) and return first-order local planes h(x, y) ~ h0 + gx dx + gy dy.
+
+    Conscious approximation: contact points move <~2 mm within one 2 ms step,
+    far below the 3.4 cm terrain cell, so per-stage re-evaluation of the
+    bilinear surface changes forces negligibly (goldens regenerated when this
+    landed)."""
+    qx, qy = _query_points(c, s)
+    h, gx, gy = sampler(qx, qy)
+    planes = []
+    for i in range(6):
+        planes.append((qx[..., i], qy[..., i], h[..., i],
+                       gx[..., i], gy[..., i]))
+    return tuple(planes)
+
+
+def _plane_at(plane, x, y):
+    """Evaluate a local terrain plane: (h, gx, gy) at (x, y)."""
+    x0, y0, h0, gx, gy = plane
+    return h0 + gx * (x - x0) + gy * (y - y0), gx, gy
+
+
+def _forward_scalar(c: _Consts, cp: ContactParams, planes, s: PhysState,
                     ctrl_torque):
     """Scalarized forward dynamics. Returns ((v̇, ẇ, θ̈), a_ball, α_ball)
-    as scalar tuples."""
+    as scalar tuples. `planes` = per-contact-point local terrain planes
+    from _sample_planes (no memory traffic inside the RK4 stages)."""
     t = _scalar_terms(c, s, ctrl_torque)
     solve = _make_solver(c, t)
 
@@ -414,7 +456,7 @@ def _forward_scalar(c: _Consts, cp: ContactParams, sampler, s: PhysState,
         return f_vals, out
 
     # ---- contact 0: ball <-> terrain ----
-    h, dhx, dhy = sampler(bp[0], bp[1])
+    h, dhx, dhy = _plane_at(planes[0], bp[0], bp[1])
     inv_n = 1.0 / jnp.sqrt(1.0 + dhx * dhx + dhy * dhy)
     n0 = (-dhx * inv_n, -dhy * inv_n, inv_n)
     gap = (bp[2] - h) * n0[2]
@@ -466,9 +508,9 @@ def _forward_scalar(c: _Consts, cp: ContactParams, sampler, s: PhysState,
             ball_tq = vadd(ball_tq, vscale(varm, f))
 
     # ---- contacts 4..8: robot body spheres <-> terrain (fall cases) ----
-    for center_b, radius in c.body_spheres:
+    for sphere_i, (center_b, radius) in enumerate(c.body_spheres):
         cw = vadd(p, mvec(t.R, center_b))
-        h_s, dhx_s, dhy_s = sampler(cw[0], cw[1])
+        h_s, dhx_s, dhy_s = _plane_at(planes[1 + sphere_i], cw[0], cw[1])
         inv_ns = 1.0 / jnp.sqrt(1.0 + dhx_s * dhx_s + dhy_s * dhy_s)
         ns = (-dhx_s * inv_ns, -dhy_s * inv_ns, inv_ns)
         depth_s = radius - (cw[2] - h_s) * ns[2]
@@ -514,8 +556,9 @@ def forward(model: BallbotModel, cp: ContactParams, terrain, zscale,
     then ignored). Returns (udot_r (9,), a_ball (3,), alpha_ball (3,))."""
     sampler = _as_sampler(model, terrain, zscale)
     c = _consts(model)
+    planes = _sample_planes(c, sampler, s)
     (vd, wd, thdd), a_ball, alpha_ball = _forward_scalar(
-        c, cp, sampler, s, ctrl_torque)
+        c, cp, planes, s, ctrl_torque)
     udot_r = jnp.concatenate([s3.pack_v3(vd), s3.pack_v3(wd),
                               s3.pack_v3(thdd)], axis=-1)
     return udot_r, s3.pack_v3(a_ball), s3.pack_v3(alpha_ball)
@@ -574,9 +617,9 @@ def _rigid_terms(model: BallbotModel, s: PhysState, ctrl_torque) -> _Terms:
 # Integration
 # ---------------------------------------------------------------------------
 
-def _deriv(model, c, cp, sampler, s: PhysState, ctrl_torque):
+def _deriv(model, c, cp, planes, s: PhysState, ctrl_torque):
     (vd, wd, thdd), a_ball, alpha_ball = _forward_scalar(
-        c, cp, sampler, s, ctrl_torque)
+        c, cp, planes, s, ctrl_torque)
     return PhysState(
         base_pos=s.base_vel,
         base_quat=quat_deriv(s.base_quat, s.base_angvel),
@@ -602,11 +645,12 @@ def step(model: BallbotModel, cp: ContactParams, terrain, zscale,
     `terrain` may be an (n, n) grid or a point-sampler callable."""
     sampler = _as_sampler(model, terrain, zscale)
     c = _consts(model)
+    planes = _sample_planes(c, sampler, s)   # one fused gather per step
     dt = model.dt
-    k1 = _deriv(model, c, cp, sampler, s, ctrl_torque)
-    k2 = _deriv(model, c, cp, sampler, _axpy(s, k1, dt / 2), ctrl_torque)
-    k3 = _deriv(model, c, cp, sampler, _axpy(s, k2, dt / 2), ctrl_torque)
-    k4 = _deriv(model, c, cp, sampler, _axpy(s, k3, dt), ctrl_torque)
+    k1 = _deriv(model, c, cp, planes, s, ctrl_torque)
+    k2 = _deriv(model, c, cp, planes, _axpy(s, k1, dt / 2), ctrl_torque)
+    k3 = _deriv(model, c, cp, planes, _axpy(s, k2, dt / 2), ctrl_torque)
+    k4 = _deriv(model, c, cp, planes, _axpy(s, k3, dt), ctrl_torque)
     new = jax.tree.map(
         lambda y, a, b, c_, d: y + (dt / 6.0) * (a + 2 * b + 2 * c_ + d),
         s, k1, k2, k3, k4)

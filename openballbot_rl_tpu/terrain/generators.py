@@ -6,17 +6,21 @@ same output contract `f(n, **params, seed) -> (n*n,) float array in [0, 1]`
 (n odd), but written as vectorized array ops instead of Python double loops so
 they can run under jit on TPU (terrain banks are regenerated on-device).
 
-Known conscious deviations (documented per function):
-  - `stepped`'s reference smoothing pass mutates in place while iterating
-    (stepped.py:48-57), making the result order-dependent; we apply the same
-    0.7/0.3 neighbor blend as a parallel (Jacobi) pass.
-  - `hills` placement uses JAX PRNG rejection sampling instead of
-    numpy RandomState draws (hills.py:55-77): same distribution family,
-    different stream.
+Value parity with the reference is verified element-wise across seeds and
+parameter variants (tests/integration/test_reference_terrain_parity.py),
+including the reference's quirks: stepped's order-dependent in-place
+smoothing sweep (reproduced as a row/column scan recurrence), hills' MT19937
+rejection-sampled placement (reproduced via a host callback), and terraced's
+absolute-vs-relative transition-width unit mismatch. The only exclusion is
+`perlin`: the reference's C `noise` package is unavailable here, so exact
+value parity is gated on a golden table (SURVEY.md §7 risk #3); the JAX
+simplex follows the same Gustavson algorithm and permutation-table scheme.
 """
 from __future__ import annotations
 
 import math
+
+import numpy as np
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -78,12 +82,25 @@ def generate_stepped_terrain(n: int, num_steps: int = 5, step_height: float = 0.
     j = jnp.arange(n)[None, :]
     step_idx = jnp.minimum(i // step_size + j // step_size, num_steps - 1)
     terrain = step_idx.astype(jnp.float32) * step_height
-    # neighbor smoothing (parallel version of stepped.py:48-57)
-    nb = (jnp.roll(terrain, 1, 0) + jnp.roll(terrain, -1, 0)
-          + jnp.roll(terrain, 1, 1) + jnp.roll(terrain, -1, 1)) / 4.0
-    inner = 0.7 * terrain + 0.3 * nb
-    mask = jnp.zeros((n, n), bool).at[1:-1, 1:-1].set(True)
-    terrain = jnp.where(mask, inner, terrain)
+    # Sequential in-place (Gauss-Seidel) neighbor smoothing, row-major —
+    # stepped.py:48-57 updates terrain[i, j] using ALREADY-SMOOTHED up/left
+    # neighbors; reproduced with a row scan over a column scan for parity.
+    def row_step(h_prev, rows):
+        t_i, t_ip1 = rows
+
+        def col_step(h_left, xs):
+            t_ij, h_up, t_down, t_right = xs
+            h_ij = 0.7 * t_ij + 0.3 * (h_up + t_down + h_left + t_right) / 4.0
+            return h_ij, h_ij
+
+        xs = (t_i[1:-1], h_prev[1:-1], t_ip1[1:-1], t_i[2:])
+        _, inner = jax.lax.scan(col_step, t_i[0], xs)
+        new_row = jnp.concatenate([t_i[:1], inner, t_i[-1:]])
+        return new_row, new_row
+
+    _, smoothed = jax.lax.scan(row_step, terrain[0],
+                               (terrain[1:-1], terrain[2:]))
+    terrain = jnp.concatenate([terrain[:1], smoothed, terrain[-1:]], axis=0)
     return _minmax_normalize(terrain).reshape(-1)
 
 
@@ -187,23 +204,33 @@ def generate_hills_terrain(n: int, num_hills: int = 5, hill_height: float = 0.7,
                            seed=0) -> jnp.ndarray:
     _check_odd(n)
     assert num_hills > 0 and 0 <= hill_height <= 1.0 and 0 < hill_radius <= 0.5
-    key = jax.random.PRNGKey(jnp.asarray(0 if seed is None else seed, jnp.uint32))
-    max_attempts = num_hills * 100
-    cand = hill_radius + jax.random.uniform(key, (max_attempts, 2)) * (1.0 - 2 * hill_radius)
-    min_distance = hill_radius * 2.0
+    # Hill placement mirrors the reference's MT19937 rejection loop
+    # (hills.py:43-71, np.random.RandomState(seed).uniform pairs) via a host
+    # callback for exact value parity — bank generation is host-cadence, not
+    # the training hot path, so the callback costs nothing that matters.
+    def _positions_host(seed_val):
+        rng = np.random.RandomState(int(np.asarray(seed_val)))
+        min_distance = hill_radius * 2.0
+        pos = []
+        attempts = 0
+        while len(pos) < num_hills and attempts < num_hills * 100:
+            attempts += 1
+            x = rng.uniform(hill_radius, 1.0 - hill_radius)
+            y = rng.uniform(hill_radius, 1.0 - hill_radius)
+            if all((x - ex) ** 2 + (y - ey) ** 2 >= min_distance ** 2
+                   for ex, ey in pos):
+                pos.append((x, y))
+        out = np.full((num_hills, 2), 1e6, np.float32)
+        for k, p in enumerate(pos):
+            out[k] = p
+        return out, np.int32(len(pos))
 
-    def place(carry, xy):
-        pos, cnt = carry
-        d2 = jnp.sum((pos - xy[None, :]) ** 2, axis=1)
-        occupied = jnp.arange(pos.shape[0]) < cnt
-        too_close = jnp.any(occupied & (d2 < min_distance ** 2))
-        accept = (~too_close) & (cnt < num_hills)
-        pos = jnp.where(accept, pos.at[jnp.minimum(cnt, num_hills - 1)].set(xy), pos)
-        cnt = cnt + accept.astype(cnt.dtype)
-        return (pos, cnt), None
-
-    init = (jnp.full((num_hills, 2), 1e6, jnp.float32), jnp.asarray(0, jnp.int32))
-    (positions, count), _ = jax.lax.scan(place, init, cand)
+    seed_arr = jnp.asarray(0 if seed is None else seed, jnp.int32)
+    positions, count = jax.pure_callback(
+        _positions_host,
+        (jax.ShapeDtypeStruct((num_hills, 2), jnp.float32),
+         jax.ShapeDtypeStruct((), jnp.int32)),
+        seed_arr, vmap_method="sequential")
 
     X, Y = _grid01(n)
     sigma = hill_radius / 3.0
@@ -286,7 +313,11 @@ def generate_terraced_terrain(n: int, num_terraces: int = 5,
     prev_h = jnp.maximum(idx - 1, 0).astype(jnp.float32) * terrace_height
     next_h = jnp.minimum(idx + 1, num_terraces - 1).astype(jnp.float32) * terrace_height
 
-    tsize = trans / tw  # transition size in pos-units (terraced.py:76 semantics)
+    # NOTE: the reference compares pos_in_terrace (within-terrace units)
+    # against transition_size in ABSOLUTE coordinate units
+    # (terraced.py:80-90) — a unit mismatch that shrinks the transition
+    # zone by a factor num_terraces. Reproduced verbatim for parity.
+    tsize = trans
     lo = _smoothstep(0.0, 1.0, pos / jnp.maximum(tsize, 1e-9))
     hi = _smoothstep(0.0, 1.0, (pos - (1.0 - tsize)) / jnp.maximum(tsize, 1e-9))
     terrain = jnp.where(
