@@ -14,3 +14,10 @@ __version__ = "0.1.0"
 # Component registration side effects (reference: ballbot_gym/__init__.py:43-53)
 import openballbot_rl_tpu.rewards  # noqa: F401,E402
 import openballbot_rl_tpu.terrain  # noqa: F401,E402
+
+# Gymnasium registration side effect (ballbot_gym/__init__.py:36-53):
+# `gym.make("ballbot-v0.1")` works when gymnasium is installed.
+from openballbot_rl_tpu.envs.gym_adapter import register_gym_env as _reg
+
+_reg()
+del _reg

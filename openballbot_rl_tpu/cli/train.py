@@ -127,6 +127,31 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
     n_eval_episodes = int(eval_cfg.get("n_episodes", 8))
     ckpt_freq = int(config.get("checkpoint_freq", 20000))
 
+    # visualization callbacks (reference callbacks.py:94-517: video-on-best
+    # + periodic viz; synchronous here — a full episode renders in one jit
+    # call, so no background thread is needed)
+    viz_cfg = config.get("visualization", {}) or {}
+    video_on_best = bool(viz_cfg.get("video_on_best", False))
+    periodic_viz_freq = int(viz_cfg.get("periodic_freq", 0))
+    viz_episodes = int(viz_cfg.get("episodes", 1))
+    next_viz = periodic_viz_freq if periodic_viz_freq else None
+
+    def _render_video(tag, gs):
+        from openballbot_rl_tpu.viz.rollout import visualize_episodes
+
+        def policy_fn(obs, k):
+            mean, _, _ = algo.network.apply(rs.params, obs)
+            return jnp.clip(mean, -1.0, 1.0)
+
+        out = os.path.join(out_dir, "videos", f"{tag}_{gs}.mp4")
+        try:
+            return visualize_episodes(
+                env, bank, policy_fn, jax.random.PRNGKey(gs), viz_episodes,
+                env.params.max_ep_steps, out, verbose=False)
+        except Exception as e:  # noqa: BLE001 — video failure never kills
+            print(f"  video render failed ({e})")   # training (callbacks.py:238-275)
+            return None
+
     csvlog = CSVLogger(os.path.join(out_dir, "progress.csv"))
     evallog = EvalLog(os.path.join(out_dir, "results"))
     watch = Stopwatch()
@@ -180,6 +205,16 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
                 save_checkpoint(os.path.join(out_dir, "best_model"), rs)
                 if verbose:
                     print(f"  new best eval {best_eval:.2f} @ {gs} -> best_model")
+                if video_on_best:
+                    v = _render_video("best", gs)
+                    if v and verbose:
+                        print(f"  video -> {v}")
+
+        if next_viz is not None and gs >= next_viz:
+            next_viz = gs + periodic_viz_freq
+            v = _render_video("periodic", gs)
+            if v and verbose:
+                print(f"  periodic visualization -> {v}")
 
         if gs >= next_ckpt:
             next_ckpt = gs + ckpt_freq

@@ -228,6 +228,10 @@ class BallbotEnv:
             "pos2d": phys.base_pos[:2],
             "episode_return": episode_return,
             "terrain_seed": bank.seeds[state.terrain_idx],
+            # pre-auto-reset obs: consumers that need Gym's terminal
+            # observation semantics (envs/gym_adapter.py) read it here;
+            # unused consumers pay nothing (dead-code eliminated by XLA)
+            "terminal_obs": obs,
         }
 
         # auto-reset (replaces Gym reset-on-done; see module doc)

@@ -138,7 +138,9 @@ class VisionBallbotEnv:
         vision, lrt = jax.lax.cond(do_render, render, keep, None)
         new_state = VisionEnvState(core=core, vision=vision,
                                    last_render_time=lrt, tick=tick)
-        obs.update(self._vision_obs(vision, core.time, lrt))
+        vis_obs = self._vision_obs(vision, core.time, lrt)
+        obs.update(vis_obs)
+        info["terminal_obs"] = {**info["terminal_obs"], **vis_obs}
         return new_state, obs, reward, done, info
 
     # ---------- batched closures ----------

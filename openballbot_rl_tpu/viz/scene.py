@@ -161,7 +161,9 @@ def render_scene(sampler: Callable, base_pos, base_quat, ball_pos,
         better = t < t_best
         t_best = jnp.where(better, t, t_best)
         color = jnp.where(better[..., None], shade, color)
-    return jnp.clip(color, 0.0, 1.0)
+    # degenerate poses (robot lying inside geometry, grazing rays) can leak
+    # NaN into individual pixels; clamp defensively — this is visualization
+    return jnp.nan_to_num(jnp.clip(color, 0.0, 1.0), nan=0.0)
 
 
 def wheel_coms_world(model, base_pos, base_quat):
