@@ -68,6 +68,10 @@ def create_terrain(config: Dict[str, Any]) -> Callable:
         final_config = {**terrain_config, **override_kwargs}
         return terrain_fn(n, **final_config)
 
+    # metadata for consumers that can specialize (e.g. the native host-side
+    # bank generator keys off terrain_type == "perlin")
+    configured_terrain.terrain_type = terrain_type
+    configured_terrain.terrain_config = dict(terrain_config)
     return configured_terrain
 
 

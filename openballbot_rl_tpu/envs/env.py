@@ -95,22 +95,48 @@ class TerrainBank:
 
 def make_terrain_bank(gen: Callable, n: int, zscale: float, key,
                       bank_size: int, fixed_seed: Optional[int] = None,
-                      ) -> TerrainBank:
+                      use_native: Optional[bool] = None) -> TerrainBank:
     """Generate a bank of terrains with per-episode seed semantics.
 
     gen: a configured terrain closure (core.factories.create_terrain output).
     Seeds are drawn uniformly from [0, 10000) like the reference
     (ballbot_env.py:506) unless fixed_seed is given.
+
+    use_native: generate the bank with the C++ OpenMP generator
+    (native/libobb_terrain.so, value-parity with the JAX path) — host cores
+    do the work so bank regeneration overlaps device training. None = auto:
+    use it when the library is built and the terrain supports it.
     """
     if fixed_seed is not None:
         seeds = jnp.full((bank_size,), int(fixed_seed), jnp.int32)
     else:
         seeds = jax.random.randint(key, (bank_size,), 0, 10000)
 
-    def one(seed):
-        return jnp.asarray(gen(n, seed=seed), jnp.float32).reshape(n, n)
+    heights = None
+    if use_native is not False and getattr(gen, "terrain_type", None) == "perlin":
+        from openballbot_rl_tpu.terrain.native import (
+            native_available, perlin_bank_native)
 
-    heights = jax.vmap(one)(seeds)
+        if native_available():
+            import numpy as np
+
+            cfg = getattr(gen, "terrain_config", {})
+            heights = jnp.asarray(perlin_bank_native(
+                np.asarray(seeds), n,
+                scale=cfg.get("scale", 25.0),
+                octaves=cfg.get("octaves", 4),
+                persistence=cfg.get("persistence", 0.2),
+                lacunarity=cfg.get("lacunarity", 2.0),
+                amplitude=cfg.get("amplitude", 1.0)))
+        elif use_native:
+            raise RuntimeError("use_native=True but native terrain library "
+                               "is not built (make -C native)")
+
+    if heights is None:
+        def one(seed):
+            return jnp.asarray(gen(n, seed=seed), jnp.float32).reshape(n, n)
+
+        heights = jax.vmap(one)(seeds)
     offsets = jax.vmap(lambda t: hf.spawn_height_offset(t, zscale))(heights)
     return TerrainBank(heights=heights, spawn_offsets=offsets, seeds=seeds)
 
