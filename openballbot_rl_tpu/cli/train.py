@@ -28,6 +28,11 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
          max_iterations: Optional[int] = None, verbose: bool = True,
          assume_yes: bool = False) -> str:
     import jax
+
+    if config.get("multihost", False):
+        # SPMD across hosts: each process contributes its local devices and
+        # runs the same program; DCN carries dispatch, ICI the collectives
+        jax.distributed.initialize()
     import jax.numpy as jnp
 
     from openballbot_rl_tpu.envs import make_env_from_config, make_terrain_bank
@@ -162,10 +167,17 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
     last_ep_rew = float("nan")
     last_ep_len = float("nan")
 
+    profile_dir = config.get("profile_dir", "")
+    profiling = False
+
     steps_per_iter = cfg.num_envs * cfg.n_steps
     while int(rs.global_step) < cfg.total_timesteps:
         if max_iterations is not None and iteration >= max_iterations:
             break
+        # trace iterations 2-4 (skip iteration 1: compile)
+        if profile_dir and iteration == 1 and not profiling:
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
         rs, metrics = algo.train_iteration(rs, bank)
         iteration += 1
         gs = int(rs.global_step)
@@ -221,12 +233,22 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
             save_checkpoint(os.path.join(out_dir, "checkpoints",
                                          f"step_{gs}"), rs)
 
+        if profiling and iteration >= 4:
+            jax.block_until_ready(metrics["reward_mean"])
+            jax.profiler.stop_trace()
+            profiling = False
+            if verbose:
+                print(f"  device trace (iters 2-4) -> {profile_dir}")
+
         csvlog.log(row)
         if verbose:
             print(f"iter {iteration} step {gs} fps {row['time/fps']} "
                   f"ep_rew {row['rollout/ep_rew_mean']:.2f} "
                   f"ep_len {row['rollout/ep_len_mean']:.0f} "
                   f"kl {row['train/approx_kl']:.4f}")
+
+    if profiling:   # run ended before the trace window closed
+        jax.profiler.stop_trace()
 
     save_checkpoint(os.path.join(out_dir, "final_model"), rs)
     return out_dir
@@ -240,6 +262,9 @@ def cli_main(argv=None) -> int:
     parser.add_argument("--max-iterations", type=int, default=None)
     parser.add_argument("-y", "--yes", action="store_true",
                         help="skip interactive confirmations")
+    parser.add_argument("--profile", default="",
+                        help="capture a device trace of iterations 2-4 into "
+                             "this directory (view with tensorboard)")
     args = parser.parse_args(argv)
 
     from openballbot_rl_tpu.core.config import load_training_config
@@ -251,6 +276,8 @@ def cli_main(argv=None) -> int:
         return 2  # train.py:289-326 refuses seed=-1
     random.seed(seed)
     np.random.seed(seed)
+    if args.profile:
+        config = {**config, "profile_dir": args.profile}
     main(config, seed, out_dir=args.out or (config.get("out") or None),
          max_iterations=args.max_iterations, assume_yes=args.yes)
     return 0

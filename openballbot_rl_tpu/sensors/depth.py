@@ -111,19 +111,28 @@ class DepthCameras:
             t_ball = jnp.where((disc > 0) & (t_ball > cfg.znear), t_ball, jnp.inf)
 
             # --- terrain: coarse march + bisection ---
+            # the march runs as a scan over the ray parameter so memory
+            # stays (H, W) per env regardless of coarse_steps — a batched
+            # materialization is (B, steps, H, W, 3) and OOMs at scale
             ts = jnp.linspace(cfg.znear, cfg.t_max, cfg.coarse_steps)
+            dt_march = (cfg.t_max - cfg.znear) / (cfg.coarse_steps - 1)
 
             def below(t):
                 pt = origin[None, None, :] + t[..., None] * dirs_w
                 h, _, _ = sampler(pt[..., 0], pt[..., 1])
                 return pt[..., 2] < h
 
-            # first coarse sample below the surface
-            bel = jax.vmap(lambda t: below(jnp.full(dirs_w.shape[:2], t)))(ts)
-            hit_any = jnp.any(bel, axis=0)
-            first = jnp.argmax(bel, axis=0)                  # (H, W)
-            t_hi = ts[first]
-            t_lo = ts[jnp.maximum(first - 1, 0)]
+            def march(carry, t):
+                hit_any, t_hit = carry
+                b = below(jnp.full(dirs_w.shape[:2], t))
+                first_cross = b & ~hit_any
+                t_hit = jnp.where(first_cross, t, t_hit)
+                return (hit_any | b, t_hit), None
+
+            (hit_any, t_hi), _ = jax.lax.scan(
+                march, (jnp.zeros(dirs_w.shape[:2], bool),
+                        jnp.full(dirs_w.shape[:2], cfg.t_max)), ts)
+            t_lo = jnp.maximum(t_hi - dt_march, cfg.znear)
 
             def bisect(carry, _):
                 t_lo, t_hi = carry
