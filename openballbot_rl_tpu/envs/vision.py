@@ -89,11 +89,21 @@ class VisionBallbotEnv:
 
     # ---------- rendering ----------
     def _render(self, bank: TerrainBank, core: EnvState) -> jnp.ndarray:
-        sampler = hf.make_sampler(bank.heights, core.terrain_idx,
-                                  self.model.hfield_half_extent,
-                                  self.params.zscale)
-        depth = self.cams(sampler, core.phys.base_pos, core.phys.base_quat,
-                          core.phys.ball_pos)                  # (2, H, W)
+        if self.cams.cfg.use_patch:
+            # TPU fast path: local patch + polar einsum (sensors/depth.py
+            # render_patch) — the per-pixel gather march runs at ~78M
+            # elements/s on TPU, unusable batched
+            depth = self.cams.render_patch(
+                bank.heights, core.terrain_idx,
+                self.model.hfield_half_extent, self.params.zscale,
+                core.phys.base_pos, core.phys.base_quat, core.phys.ball_pos)
+        else:
+            sampler = hf.make_sampler(bank.heights, core.terrain_idx,
+                                      self.model.hfield_half_extent,
+                                      self.params.zscale)
+            depth = self.cams(sampler, core.phys.base_pos,
+                              core.phys.base_quat,
+                              core.phys.ball_pos)              # (2, H, W)
         imgs = depth[:, None, :, :]                            # (2, 1, H, W)
         if self.encode_fn is not None:
             return self.encode_fn(imgs)                        # (2, latent)

@@ -51,9 +51,20 @@ class DepthCameraConfig:
     width: int = 64
     max_depth: float = 1.0      # rgbd.py:69-73 clip
     znear: float = 1e-4         # ballbot.xml:8
-    coarse_steps: int = 40      # fixed march resolution (~3 cm at 1.2 m)
+    coarse_steps: int = 44      # fixed march resolution (~4 cm over t_max)
     refine_steps: int = 6       # bisection iterations
-    t_max: float = 1.2          # march horizon (> max_depth / cos view angle)
+    # march horizon: corner rays at fovy 90 need t up to max_depth/cos(54.7
+    # deg) = 1.73 before their AXIAL depth reaches the 1 m clip
+    t_max: float = 1.75
+    # TPU fast path: march against a per-env local terrain patch sampled via
+    # one-hot einsum (MXU matmuls) instead of per-pixel gathers. TPU gathers
+    # run at ~78M elements/s; a 64x64x2 render needs ~1.5M taps (4 gathers
+    # each), so the exact path costs ~19 ms/env — unusable batched. The fast
+    # path's only gather is the patch extraction (patch_n^2 taps per env per
+    # render); everything per-pixel is dense math.
+    use_patch: bool = True
+    patch_n: int = 118          # patch cells; covers +-(t_max + cam offset)
+                                # at the native 3.4 cm cell size
 
 
 def _pixel_dirs(cfg: DepthCameraConfig) -> Tuple[np.ndarray, np.ndarray]:
@@ -147,5 +158,125 @@ class DepthCameras:
             t_hit = jnp.minimum(t_ball, t_terr)
             depth = t_hit * self._axial                      # z-buffer depth
             return jnp.clip(depth, 0.0, cfg.max_depth)
+
+        return jnp.stack([render_cam(0), render_cam(1)])
+
+    # ------------------------------------------------------------------
+    # TPU fast path: patch + polar profiles + tent-weight einsum (MXU)
+    # ------------------------------------------------------------------
+    def render_patch(self, heights, idx, half_extent, zscale,
+                     base_pos, base_quat, ball_pos):
+        """Gather-free terrain rendering against a local patch.
+
+        heights: (K, n, n) terrain bank; idx: scalar bank index. The ONLY
+        gather is one contiguous dynamic_slice (the patch). Per camera the
+        terrain is resampled onto a polar grid centered at the camera's
+        ground point via tent-weight (exact bilinear) einsum — MXU matmuls —
+        and each ray intersects its own piecewise-linear radial profile in
+        closed form:
+
+            ray height  z(s) = cz + m*s   (s = horizontal distance)
+            hit where   (cz - h(s)) / s <= -m
+
+        Accuracy vs the exact marcher: polar resolution ~2.8 deg x 2.5 cm
+        at the 1 m clip — comparable to the camera's own pixel footprint;
+        silhouette pixels can land one sample off (verified within tolerance
+        by tests/unit/test_sensors.py).
+        """
+        cfg = self.cfg
+        n = heights.shape[-1]
+        P = cfg.patch_n
+        NTH, NS = 96, 48
+        cell = 2.0 * half_extent / (n - 1)
+
+        # --- one contiguous patch slice around the base ---
+        ci = jnp.clip(jnp.round((base_pos[1] + half_extent) / cell)
+                      .astype(jnp.int32) - P // 2, 0, n - P)
+        cj = jnp.clip(jnp.round((base_pos[0] + half_extent) / cell)
+                      .astype(jnp.int32) - P // 2, 0, n - P)
+        patch = jax.lax.dynamic_slice(
+            heights, (idx, ci, cj), (1, P, P))[0] * zscale    # (P, P) meters
+
+        R = quat_to_mat(base_quat)
+        rows_idx = jnp.arange(P, dtype=jnp.float32)
+
+        def tent(x, size):
+            """Exact bilinear weights: (M,) coords -> (M, size)."""
+            d = jnp.abs(x[:, None] - jnp.arange(size, dtype=jnp.float32)[None, :])
+            return jnp.maximum(0.0, 1.0 - d)
+
+        def render_cam(cam_idx):
+            origin = base_pos + R @ self._cam_pos[cam_idx]
+            Rcw = R @ self._cam_rot[cam_idx]
+            dirs_w = jnp.einsum("ij,hwj->hwi", Rcw, self._dirs)
+            H, W = dirs_w.shape[:2]
+            d = dirs_w.reshape(-1, 3)                         # (HW, 3)
+            cz = origin[2]
+
+            # --- ball: analytic ray-sphere (shared with the exact path) ---
+            oc = origin - ball_pos
+            b = d @ oc
+            c = jnp.dot(oc, oc) - self.ball_radius ** 2
+            disc = b * b - c
+            t_ball = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+            t_ball = jnp.where((disc > 0) & (t_ball > cfg.znear), t_ball,
+                               jnp.inf)
+
+            # --- polar terrain profiles around the camera ground point ---
+            phis = jnp.arange(NTH) * (2.0 * jnp.pi / NTH)
+            radii = jnp.linspace(0.02, cfg.t_max, NS)
+            px = origin[0] + radii[None, :] * jnp.cos(phis)[:, None]
+            py = origin[1] + radii[None, :] * jnp.sin(phis)[:, None]
+            gr = ((py.reshape(-1) + half_extent) / cell
+                  - ci.astype(jnp.float32))
+            gc = ((px.reshape(-1) + half_extent) / cell
+                  - cj.astype(jnp.float32))
+            gr = jnp.clip(gr, 0.0, P - 1.0)
+            gc = jnp.clip(gc, 0.0, P - 1.0)
+            wr = tent(gr, P)                                  # (M, P)
+            wc = tent(gc, P)
+            h_polar = jnp.einsum("mr,rc,mc->m", wr, patch, wc,
+                                 preferred_element_type=jnp.float32)
+            h_polar = h_polar.reshape(NTH, NS)
+
+            # --- per-ray height profile via circular tent over theta ---
+            dxy = jnp.maximum(jnp.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2), 1e-4)
+            theta = jnp.arctan2(d[:, 1], d[:, 0])             # (-pi, pi]
+            tcoord = (theta % (2.0 * jnp.pi)) / (2.0 * jnp.pi) * NTH
+            dist = jnp.abs(tcoord[:, None] - jnp.arange(NTH)[None, :])
+            dist = jnp.minimum(dist, NTH - dist)              # circular
+            wth = jnp.maximum(0.0, 1.0 - dist)                # (HW, NTH)
+            h_ray = wth @ h_polar                             # (HW, NS)
+
+            # --- first crossing of ray_z(s) = cz + m*s with the piecewise-
+            # linear height profile h(s): exact per-segment closed form,
+            # fully dense (TPU gathers run ~78M elem/s; argmax +
+            # take_along_axis here cost >100 ms per batched render)
+            m = d[:, 2] / dxy
+            g = cz + m[:, None] * radii[None, :] - h_ray      # (HW, NS)
+            hit = g <= 0.0
+            hit_any = jnp.any(hit, axis=1)
+            prev_any = jnp.concatenate(
+                [jnp.zeros_like(hit[:, :1]),
+                 jax.lax.cummax(hit.astype(jnp.int8), axis=1)[:, :-1]],
+                axis=1).astype(bool)
+            first = hit & ~prev_any                           # <=1 True per ray
+            # segment k: linear g between (s_prev, g_prev) and (s_k, g_k);
+            # the virtual segment 0 runs from s=0 with h held at h(s_0)
+            g_prev = jnp.concatenate(
+                [(cz - h_ray[:, :1]), g[:, :-1]], axis=1)
+            s_prev = jnp.concatenate([jnp.zeros(1, radii.dtype), radii[:-1]])
+            denom = g_prev - g
+            frac = jnp.where(jnp.abs(denom) > 1e-9,
+                             g_prev / jnp.where(jnp.abs(denom) > 1e-9,
+                                                denom, 1.0), 0.0)
+            s_cross = s_prev[None, :] + (radii - s_prev)[None, :] * jnp.clip(
+                frac, 0.0, 1.0)
+            s_star = jnp.sum(jnp.where(first, s_cross, 0.0), axis=1)
+            t_terr = jnp.where(hit_any, s_star / dxy, jnp.inf)
+
+            t_hit = jnp.minimum(t_ball, jnp.maximum(t_terr, cfg.znear))
+            depth = t_hit * self._axial.reshape(-1)
+            return jnp.clip(depth, 0.0, cfg.max_depth).reshape(H, W)
 
         return jnp.stack([render_cam(0), render_cam(1)])

@@ -98,3 +98,59 @@ class TestDepthCameras:
         small = DepthCameras(DepthCameraConfig(height=16, width=16))
         d = _render(small, flat_sampler, [0, 0, 0.4])
         assert d.shape == (2, 16, 16)
+
+
+class TestPatchRenderer:
+    """TPU fast path (render_patch): gather-free polar/einsum rendering must
+    track the exact marcher within silhouette tolerance."""
+
+    def test_matches_exact_marcher(self, cams):
+        import numpy as np
+
+        from openballbot_rl_tpu.core.factories import create_terrain
+
+        gen = create_terrain({"type": "perlin",
+                              "config": {"scale": 25.0, "octaves": 4,
+                                         "persistence": 0.2,
+                                         "lacunarity": 2.0}})
+        hts = jnp.asarray(gen(293, seed=3), jnp.float32).reshape(1, 293, 293)
+        off = float(hf.spawn_height_offset(hts[0], 2.0))
+        full = DepthCameras()          # 64x64 (module fixture is 16x16-free)
+        bp = jnp.array([0.3, -0.2, 0.35 + off], jnp.float32)
+        q = jnp.array([0.9961947, 0.0871557, 0.0, 0.0], jnp.float32)  # 10 deg
+        ball = bp + jnp.array([0.0, 0.0, -0.25], jnp.float32)
+        sam = hf.make_sampler(hts, jnp.asarray(0), 5.0, 2.0)
+        exact = np.asarray(full(sam, bp, q, ball))
+        fast = np.asarray(full.render_patch(hts, jnp.asarray(0), 5.0, 2.0,
+                                            bp, q, ball))
+        d = np.abs(exact - fast)
+        assert d.mean() < 0.02, f"mean abs depth error {d.mean():.4f}"
+        assert np.quantile(d, 0.95) < 0.05, \
+            f"p95 depth error {np.quantile(d, 0.95):.4f}"
+
+    def test_flat_ground_analytic(self, flat_sampler):
+        """On flat terrain the patch path must match the closed-form depth."""
+        import numpy as np
+
+        full = DepthCameras()
+        hts = jnp.zeros((1, 293, 293), jnp.float32)
+        bp = jnp.array([0.0, 0.0, 0.4], jnp.float32)
+        q = jnp.array([1.0, 0, 0, 0], jnp.float32)
+        fast = np.asarray(full.render_patch(hts, jnp.asarray(0), 5.0, 2.0,
+                                            bp, q,
+                                            jnp.array([0.0, 0.0, -9.0])))
+        exact = np.asarray(full(flat_sampler, bp, q,
+                                jnp.array([0.0, 0.0, -9.0])))
+        d = np.abs(exact - fast)
+        assert np.quantile(d, 0.99) < 0.02, \
+            f"flat-ground p99 error {np.quantile(d, 0.99):.4f}"
+
+    def test_vmap_batches(self):
+        full = DepthCameras(DepthCameraConfig(height=16, width=16))
+        hts = jnp.zeros((2, 293, 293), jnp.float32)
+        B = 3
+        out = jax.vmap(lambda p: full.render_patch(
+            hts, jnp.asarray(0), 5.0, 2.0, p,
+            jnp.array([1.0, 0, 0, 0]), p - jnp.array([0.0, 0, 0.2])))(
+            jnp.tile(jnp.array([0.0, 0, 0.4]), (B, 1)))
+        assert out.shape == (B, 2, 16, 16)
