@@ -63,6 +63,9 @@ def collect_depth_frames(env, bank, key, n_frames: int,
 
 
 def save_frames_npz(path: str, frames: np.ndarray) -> None:
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     np.savez_compressed(path, frames=frames.astype(np.float32))
 
 
