@@ -28,7 +28,7 @@ def main() -> int:
     from openballbot_rl_tpu.envs import BallbotEnv, EnvParams, make_terrain_bank
     from openballbot_rl_tpu.nn.networks import ActorCritic, sample_action
 
-    B = int(os.environ.get("BENCH_ENVS", "4096"))
+    B = int(os.environ.get("BENCH_ENVS", "32768"))  # throughput saturates ~32k
     T = int(os.environ.get("BENCH_STEPS", "100"))
     REPS = int(os.environ.get("BENCH_REPS", "5"))
 
