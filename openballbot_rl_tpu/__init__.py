@@ -14,6 +14,8 @@ __version__ = "0.1.0"
 # Component registration side effects (reference: ballbot_gym/__init__.py:43-53)
 import openballbot_rl_tpu.rewards  # noqa: F401,E402
 import openballbot_rl_tpu.terrain  # noqa: F401,E402
+import openballbot_rl_tpu.nn       # noqa: F401,E402  (policies)
+import openballbot_rl_tpu.sensors  # noqa: F401,E402
 
 # Gymnasium registration side effect (ballbot_gym/__init__.py:36-53):
 # `gym.make("ballbot-v0.1")` works when gymnasium is installed.

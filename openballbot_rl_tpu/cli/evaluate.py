@@ -13,7 +13,8 @@ import sys
 
 
 def main(model_path: str, eval_config: dict, terrain: str = "",
-         n_test: int = 10, seed: int = 0, verbose: bool = True) -> dict:
+         n_test: int = 10, seed: int = 0, verbose: bool = True,
+         log_dir: str = "") -> dict:
     import jax
     import yaml
 
@@ -53,10 +54,29 @@ def main(model_path: str, eval_config: dict, terrain: str = "",
     bank = make_terrain_bank(terrain_gen, env.model.hfield_n,
                              env.params.zscale, k_bank,
                              max(n_test, 8), fixed_seed=fixed_seed)
-    return evaluate_policy(env, net.apply, params, bank, k_eval,
-                           n_episodes=n_test,
-                           max_steps=env.params.max_ep_steps,
-                           verbose=verbose)
+    res = evaluate_policy(env, net.apply, params, bank, k_eval,
+                          n_episodes=n_test,
+                          max_steps=env.params.max_ep_steps,
+                          verbose=verbose)
+    if log_dir:
+        # reference-layout per-episode logs (utils/episode_log.py)
+        import jax.numpy as jnp
+
+        from openballbot_rl_tpu.utils.episode_log import log_episode_rollout
+
+        def policy_fn(obs, k):
+            mean, _, _ = net.apply(params, obs)
+            return jnp.clip(mean, -1.0, 1.0)
+
+        k_log = jax.random.PRNGKey(seed + 1)
+        for e in range(n_test):
+            k_log, k = jax.random.split(k_log)
+            info = log_episode_rollout(env, bank, policy_fn, k,
+                                       env.params.max_ep_steps, log_dir, e)
+            if verbose:
+                print(f"logged episode {e}: len {info['length']} "
+                      f"seed {info['terrain_seed']} -> {log_dir}")
+    return res
 
 
 def cli_main(argv=None) -> int:
@@ -68,6 +88,8 @@ def cli_main(argv=None) -> int:
     p.add_argument("--terrain", default="", help="terrain type override")
     p.add_argument("--n-test", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-dir", default="", help="dump reference-layout "
+                   "per-episode logs (rewards, terrain seeds, depth PNGs)")
     args = p.parse_args(argv)
 
     from openballbot_rl_tpu.core.config import load_config
@@ -80,7 +102,7 @@ def cli_main(argv=None) -> int:
         print(f"eval config not found: {args.config}", file=sys.stderr)
         return 2
     main(args.model, eval_cfg, terrain=args.terrain, n_test=args.n_test,
-         seed=args.seed)
+         seed=args.seed, log_dir=args.log_dir)
     return 0
 
 

@@ -65,9 +65,18 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
 
     env, terrain_gen = make_env_from_config(config)
 
-    hidden = tuple(config.get("policy", {}).get("config", {}).get(
-        "hidden_sizes", [128, 128, 128, 128]))
-    network = ActorCritic(hidden=hidden, use_batchnorm=False)
+    # policy resolved through the registry (reference policy registration
+    # side effect + create_policy, core/factories.py)
+    pol_cfg = config.get("policy", {}) or {}
+    pol_type = pol_cfg.get("type", "actor_critic")
+    pol_kwargs = dict(pol_cfg.get("config", {}) or {})
+    hidden = tuple(pol_kwargs.pop("hidden_sizes", [128, 128, 128, 128]))
+    if pol_type in ("actor_critic", "mlp"):
+        network = ActorCritic(hidden=hidden, use_batchnorm=False)
+    else:
+        from openballbot_rl_tpu.core.factories import create_policy
+
+        network = create_policy({"type": pol_type})(**pol_kwargs)
     algo = PPO(env, cfg, network)
 
     bank_size = int(config.get("terrain_bank_size", 64))
