@@ -113,7 +113,12 @@ def make_terrain_bank(gen: Callable, n: int, zscale: float, key,
         seeds = jax.random.randint(key, (bank_size,), 0, 10000)
 
     heights = None
-    if use_native is not False and getattr(gen, "terrain_type", None) == "perlin":
+    is_perlin = getattr(gen, "terrain_type", None) == "perlin"
+    if use_native and not is_perlin:
+        raise RuntimeError(
+            f"use_native=True but terrain '{getattr(gen, 'terrain_type', '?')}'"
+            " has no native generator (only perlin)")
+    if use_native is not False and is_perlin:
         from openballbot_rl_tpu.terrain.native import (
             native_available, perlin_bank_native)
 
@@ -221,9 +226,13 @@ class BallbotEnv:
         terrain = hf.make_sampler(bank.heights, state.terrain_idx,
                                   m.hfield_half_extent, p.zscale)
 
-        # action pipeline (ballbot_env.py:901-907): scale, clip, negate
+        # action pipeline (ballbot_env.py:901-907): scale, clip, negate —
+        # then the actuator ctrlrange clamp MuJoCo applies on top
+        # (ballbot.xml:82-87, +-10), which matters when max_wheel_velocity
+        # is configured above the actuator limit
         ctrl = jnp.clip(action * p.max_wheel_velocity,
                         -p.max_wheel_velocity, p.max_wheel_velocity)
+        ctrl = jnp.clip(ctrl, -m.ctrl_limit, m.ctrl_limit)
         torque = -ctrl
 
         phys = state.phys

@@ -150,7 +150,17 @@ class VisionBallbotEnv:
                                    last_render_time=lrt, tick=tick)
         vis_obs = self._vision_obs(vision, core.time, lrt)
         obs.update(vis_obs)
-        info["terminal_obs"] = {**info["terminal_obs"], **vis_obs}
+        # terminal obs must reflect the TERMINAL state, not the auto-reset
+        # one: on a done+render tick `vision` is the new episode's frame, so
+        # the terminal image is the pre-step cached frame with the terminal
+        # staleness clock (<= one cadence interval stale, like any frame)
+        t_terminal = state.core.time + self.model.dt * self.params.physics_substeps
+        info["terminal_obs"] = {
+            **info["terminal_obs"],
+            **self._vision_obs(state.vision, t_terminal,
+                               jnp.minimum(state.last_render_time,
+                                           t_terminal)),
+        }
         return new_state, obs, reward, done, info
 
     # ---------- batched closures ----------

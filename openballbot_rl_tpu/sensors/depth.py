@@ -186,6 +186,9 @@ class DepthCameras:
         cfg = self.cfg
         n = heights.shape[-1]
         P = cfg.patch_n
+        assert P <= n, (
+            f"patch_n ({P}) exceeds the terrain grid ({n}); shrink "
+            f"DepthCameraConfig.patch_n or use a larger heightfield")
         NTH, NS = 96, 48
         cell = 2.0 * half_extent / (n - 1)
 

@@ -91,6 +91,14 @@ class PPO:
 
     def __init__(self, env: BallbotEnv, cfg: PPOConfig = PPOConfig(),
                  network: Optional[ActorCritic] = None):
+        n_samples = cfg.num_envs * cfg.n_steps
+        if n_samples % cfg.batch_size != 0:
+            # compiled minibatching needs static shapes; silently dropping
+            # the remainder (or SB3's ragged final minibatch) is worse than
+            # refusing a misconfiguration
+            raise ValueError(
+                f"num_envs*n_steps ({n_samples}) must be divisible by "
+                f"batch_size ({cfg.batch_size}); adjust n_steps/batch_sz")
         self.env = env
         self.cfg = cfg
         self.network = network or ActorCritic(use_batchnorm=False)
@@ -190,23 +198,21 @@ class PPO:
             def mb_body(carry, idx):
                 params, opt_state, cont = carry
                 batch = jax.tree.map(lambda x: x[idx], dataset)
+                grads, aux = grad_fn(params, batch, cfg.clip_range)
+                # SB3 ordering: the KL check runs BEFORE optimizer.step(),
+                # so the over-threshold minibatch is never applied and all
+                # further updates stop
+                cont = jnp.logical_and(
+                    cont, aux["approx_kl"] <= 1.5 * cfg.target_kl)
 
                 def do(args):
                     params, opt_state = args
-                    grads, aux = grad_fn(params, batch, cfg.clip_range)
-                    updates, opt_state = self.tx.update(grads, opt_state, params)
-                    params = optax.apply_updates(params, updates)
-                    return (params, opt_state), aux
+                    updates, opt_state = self.tx.update(grads, opt_state,
+                                                        params)
+                    return optax.apply_updates(params, updates), opt_state
 
-                def skip(args):
-                    _, aux = self._loss(*([args[0], batch, cfg.clip_range]))
-                    return args, aux
-
-                (params, opt_state), aux = jax.lax.cond(
-                    cont, do, skip, (params, opt_state))
-                # SB3: stop all further updates once kl > 1.5 * target_kl
-                cont = jnp.logical_and(
-                    cont, aux["approx_kl"] <= 1.5 * cfg.target_kl)
+                params, opt_state = jax.lax.cond(
+                    cont, do, lambda a: a, (params, opt_state))
                 return (params, opt_state, cont), aux
 
             (params, opt_state, cont), auxes = jax.lax.scan(
@@ -235,7 +241,6 @@ class PPO:
             obs=jax.tree.map(flat, traj["obs"]),
             actions=flat(traj["actions"]),
             logp=flat(traj["logp"]),
-            value=flat(traj["value"]),
             adv=flat(advantages),
             ret=flat(returns),
         )
@@ -266,7 +271,12 @@ class PPO:
     def evaluate(self, params, bank: TerrainBank, n_episodes: int,
                  max_steps: int, key) -> Dict[str, jnp.ndarray]:
         """Run n_episodes deterministic episodes (mean action), one env each,
-        mirroring SB3 EvalCallback / evaluate.py:121-163."""
+        mirroring SB3 EvalCallback / evaluate.py:121-163.
+
+        NOTE (vision envs): under vmap the per-env render cadence lowers to
+        a select that renders every step (~frame_skip x the training path's
+        render cost). Acceptable at n_episodes<=8; a lockstep batched eval
+        is the optimization if it ever matters."""
         def one_episode(key):
             state, obs = self.env.reset(bank, key)
 

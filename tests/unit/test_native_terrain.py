@@ -49,13 +49,16 @@ def test_make_terrain_bank_native_path():
                                np.asarray(jaxed.spawn_offsets), atol=2e-6)
 
 
-def test_non_perlin_ignores_native():
+def test_non_perlin_use_native_raises():
     import jax
 
     from openballbot_rl_tpu.core.factories import create_terrain
     from openballbot_rl_tpu.envs import make_terrain_bank
 
     gen = create_terrain({"type": "flat", "config": {}})
-    bank = make_terrain_bank(gen, 65, 2.0, jax.random.PRNGKey(0), 2,
-                             use_native=True)
+    with pytest.raises(RuntimeError, match="no native generator"):
+        make_terrain_bank(gen, 65, 2.0, jax.random.PRNGKey(0), 2,
+                          use_native=True)
+    # auto mode (None) quietly uses the JAX path
+    bank = make_terrain_bank(gen, 65, 2.0, jax.random.PRNGKey(0), 2)
     assert float(np.asarray(bank.heights).max()) == 0.0
