@@ -12,6 +12,32 @@ import os
 import sys
 
 
+def resolve_eval_config(eval_config: dict, run_cfg: dict,
+                        terrain: str = "") -> dict:
+    """Merge an eval config over a run's config.yaml.
+
+    Terrain/reward priority matches the reference (evaluate.py:51-76):
+    CLI terrain override > eval config > run config. The run config stores
+    its components under problem.* and get_component_config prefers
+    problem.* over top level (core/config.py:72-74), so eval-config
+    components must be lifted into problem.* or they would silently lose
+    to the run's entries.
+    """
+    config = dict(eval_config or {})
+    merged = dict(run_cfg or {})
+    merged.update({k: v for k, v in config.items() if v})
+    for comp in ("terrain", "reward"):
+        override = (config.get("problem", {}) or {}).get(comp) \
+            or config.get(comp)
+        if override:
+            merged["problem"] = dict(merged.get("problem") or {})
+            merged["problem"][comp] = override
+    if terrain:
+        merged["problem"] = dict(merged.get("problem") or {})
+        merged["problem"]["terrain"] = {"type": terrain, "config": {}}
+    return merged
+
+
 def main(model_path: str, eval_config: dict, terrain: str = "",
          n_test: int = 10, seed: int = 0, verbose: bool = True,
          log_dir: str = "") -> dict:
@@ -24,7 +50,7 @@ def main(model_path: str, eval_config: dict, terrain: str = "",
     from openballbot_rl_tpu.utils.checkpoint import load_params_raw
 
     # terrain priority: CLI > eval config > run config next to the model
-    config = dict(eval_config or {})
+    run_cfg = {}
     run_cfg_path = os.path.join(os.path.dirname(os.path.abspath(model_path)),
                                 "config.yaml")
     if not os.path.exists(run_cfg_path):
@@ -34,14 +60,9 @@ def main(model_path: str, eval_config: dict, terrain: str = "",
     if os.path.exists(run_cfg_path):
         with open(run_cfg_path) as f:
             run_cfg = yaml.safe_load(f) or {}
-        merged = dict(run_cfg)
-        merged.update({k: v for k, v in config.items() if v})
-        config = merged
         if verbose:
             print(f"using run config {run_cfg_path}")
-    if terrain:
-        config.setdefault("problem", {})
-        config["problem"]["terrain"] = {"type": terrain, "config": {}}
+    config = resolve_eval_config(eval_config, run_cfg, terrain=terrain)
 
     env, terrain_gen = make_env_from_config(config)
     params = load_params_raw(model_path)

@@ -249,7 +249,13 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
             evallog.add(gs, np.asarray(ev["rewards"]), np.asarray(ev["lengths"]))
             row["eval/mean_reward"] = float(ev["mean_reward"])
             row["eval/mean_ep_length"] = float(ev["mean_ep_length"])
-            if float(ev["mean_reward"]) > best_eval:
+            # Under a curriculum, evals before annealing completes run on
+            # easier terrain and score higher than any later eval can, so
+            # "best by mean reward" would freeze an early policy that never
+            # saw the final difficulty. Track best only at full difficulty.
+            at_final_difficulty = (not cur_param) or \
+                (gs / cfg.total_timesteps >= cur_frac)
+            if at_final_difficulty and float(ev["mean_reward"]) > best_eval:
                 best_eval = float(ev["mean_reward"])
                 save_checkpoint(os.path.join(out_dir, "best_model"), rs)
                 if verbose:
