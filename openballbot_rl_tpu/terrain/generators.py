@@ -185,10 +185,15 @@ def generate_ridge_valley_terrain(n: int, ridge_height: float = 0.6,
         if k > 1:
             pad = k // 2
             padded = jnp.pad(terrain, pad, mode="edge")
-            # box filter via two 1-D separable passes
+            # box filter via two 1-D separable passes. Full fp32: TPU dots
+            # default to bf16 inputs, which drifts terrain ~2e-4 vs CPU and
+            # breaks cross-device/native value parity
             kernel = jnp.ones((k,), jnp.float32) / k
-            sm = jax.vmap(lambda r: jnp.convolve(r, kernel, mode="valid"))(padded)
-            sm = jax.vmap(lambda c_: jnp.convolve(c_, kernel, mode="valid"),
+            hi = jax.lax.Precision.HIGHEST
+            sm = jax.vmap(lambda r: jnp.convolve(r, kernel, mode="valid",
+                                                 precision=hi))(padded)
+            sm = jax.vmap(lambda c_: jnp.convolve(c_, kernel, mode="valid",
+                                                  precision=hi),
                           in_axes=1, out_axes=1)(sm)
             # match reference shape semantics (k x k mean over pad..pad+k window)
             sm = sm[:n, :n]
