@@ -102,14 +102,28 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
         cur_every = int(cur_cfg.get("regen_every", 5))
         base_tcfg = dict(terrain_cfg.get("config", {}) or {})
 
-        def curriculum_bank(progress, key):
-            t = min(1.0, progress / max(cur_frac, 1e-9))
-            value = cur_start + (cur_end - cur_start) * t
+        def bank_at(value, key):
             gen = _ct({"type": terrain_cfg["type"],
                        "config": {**base_tcfg, cur_param: value}})
             return make_terrain_bank(gen, env.model.hfield_n,
                                      env.params.zscale, key, bank_size,
-                                     fixed_seed=fixed_seed), value
+                                     fixed_seed=fixed_seed)
+
+        def curriculum_bank(progress, key):
+            t = min(1.0, progress / max(cur_frac, 1e-9))
+            value = cur_start + (cur_end - cur_start) * t
+            return bank_at(value, key), value
+
+    # Evaluation always runs on a dedicated bank at FINAL difficulty: under a
+    # curriculum, evaluating on the current (easier) bank would make eval
+    # rewards non-comparable across training. With a fixed eval bank, an early
+    # policy simply scores low on the hard terrain and best-by-mean-reward
+    # needs no gating.
+    if cur_param:
+        key, k_eb = jax.random.split(key)
+        eval_bank = bank_at(cur_end, k_eb)
+    else:
+        eval_bank = bank
 
     # run dir (train.py:169-219)
     if out_dir is None:
@@ -145,6 +159,7 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
                         params=replicate(rs.params, mesh),
                         opt_state=replicate(rs.opt_state, mesh))
         bank = replicate(bank, mesh)
+        eval_bank = replicate(eval_bank, mesh) if cur_param else bank
 
     n_params = sum(x.size for x in jax.tree.leaves(rs.params))
     if verbose:
@@ -244,18 +259,12 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
         if gs >= next_eval:
             next_eval = gs + eval_freq
             k_eval, k = jax.random.split(k_eval)
-            ev = algo.evaluate(rs.params, bank, n_eval_episodes,
+            ev = algo.evaluate(rs.params, eval_bank, n_eval_episodes,
                                env.params.max_ep_steps, k)
             evallog.add(gs, np.asarray(ev["rewards"]), np.asarray(ev["lengths"]))
             row["eval/mean_reward"] = float(ev["mean_reward"])
             row["eval/mean_ep_length"] = float(ev["mean_ep_length"])
-            # Under a curriculum, evals before annealing completes run on
-            # easier terrain and score higher than any later eval can, so
-            # "best by mean reward" would freeze an early policy that never
-            # saw the final difficulty. Track best only at full difficulty.
-            at_final_difficulty = (not cur_param) or \
-                (gs / cfg.total_timesteps >= cur_frac)
-            if at_final_difficulty and float(ev["mean_reward"]) > best_eval:
+            if float(ev["mean_reward"]) > best_eval:
                 best_eval = float(ev["mean_reward"])
                 save_checkpoint(os.path.join(out_dir, "best_model"), rs)
                 if verbose:
