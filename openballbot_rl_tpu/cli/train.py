@@ -93,13 +93,21 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
     # generator rebuilds 64 terrains in ~190 ms, so this is nearly free
     cur_cfg = config.get("curriculum", {}) or {}
     cur_param = cur_cfg.get("param")
+    cur_value = None
     if cur_param:
         from openballbot_rl_tpu.core.factories import create_terrain as _ct
 
+        cur_mode = str(cur_cfg.get("mode", "linear"))
         cur_start = float(cur_cfg.get("start", 0.0))
         cur_end = float(cur_cfg.get("end", 1.0))
         cur_frac = float(cur_cfg.get("anneal_frac", 0.7))
         cur_every = int(cur_cfg.get("regen_every", 5))
+        # adaptive mode: promote difficulty only when the policy demonstrates
+        # competence (recent mean episode length clears a survival bar), so
+        # the ramp self-paces instead of following the clock
+        cur_step = float(cur_cfg.get("step", (cur_end - cur_start) / 10.0))
+        promote_frac = float(cur_cfg.get("promote_ep_len_frac", 0.85))
+        demote_frac = cur_cfg.get("demote_ep_len_frac")
         base_tcfg = dict(terrain_cfg.get("config", {}) or {})
 
         def bank_at(value, key):
@@ -109,10 +117,18 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
                                      env.params.zscale, key, bank_size,
                                      fixed_seed=fixed_seed)
 
-        def curriculum_bank(progress, key):
+        def next_cur_value(progress, value, ep_len):
+            if cur_mode == "adaptive":
+                max_ep = env.params.max_ep_steps
+                if np.isfinite(ep_len):
+                    if ep_len >= promote_frac * max_ep:
+                        value = min(cur_end, value + cur_step)
+                    elif (demote_frac is not None
+                          and ep_len < float(demote_frac) * max_ep):
+                        value = max(cur_start, value - cur_step)
+                return value
             t = min(1.0, progress / max(cur_frac, 1e-9))
-            value = cur_start + (cur_end - cur_start) * t
-            return bank_at(value, key), value
+            return cur_start + (cur_end - cur_start) * t
 
     # Evaluation always runs on a dedicated bank at FINAL difficulty: under a
     # curriculum, evaluating on the current (easier) bank would make eval
@@ -227,9 +243,11 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
             jax.profiler.start_trace(profile_dir)
             profiling = True
         if cur_param and iteration % cur_every == 0:
+            cur_value = next_cur_value(
+                int(rs.global_step) / cfg.total_timesteps,
+                cur_start if cur_value is None else cur_value, last_ep_len)
             key, k_cur = jax.random.split(key)
-            bank, cur_value = curriculum_bank(
-                int(rs.global_step) / cfg.total_timesteps, k_cur)
+            bank = bank_at(cur_value, k_cur)
         rs, metrics = algo.train_iteration(rs, bank)
         iteration += 1
         gs = int(rs.global_step)
@@ -255,6 +273,8 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
             "train/clip_fraction": float(metrics["clip_fraction"]),
             "train/learning_rate": float(metrics["lr"]),
         }
+        if cur_param:
+            row["train/curriculum_value"] = cur_value
 
         if gs >= next_eval:
             next_eval = gs + eval_freq
