@@ -284,6 +284,7 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
             evallog.add(gs, np.asarray(ev["rewards"]), np.asarray(ev["lengths"]))
             row["eval/mean_reward"] = float(ev["mean_reward"])
             row["eval/mean_ep_length"] = float(ev["mean_ep_length"])
+            row["eval/survival_rate"] = float(ev["survival_rate"])
             if float(ev["mean_reward"]) > best_eval:
                 best_eval = float(ev["mean_reward"])
                 save_checkpoint(os.path.join(out_dir, "best_model"), rs)

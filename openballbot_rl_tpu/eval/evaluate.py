@@ -50,12 +50,17 @@ def evaluate_policy(env, apply_fn: Callable, params, bank, key,
     rets, disc, lens = _run_episodes(env, apply_fn, params, n_episodes,
                                      max_steps, bank, key, gamma)
     rets, disc, lens = map(jax.device_get, (rets, disc, lens))
+    # survival = ran the full horizon (a tilt failure always ends earlier);
+    # at a difficulty frontier episode outcomes are bimodal (tutorial 14),
+    # so this is the stable summary statistic, not the mean reward
+    survival = float((lens >= max_steps).mean())
     if verbose:
         for i, (r, g, l) in enumerate(zip(rets, disc, lens)):
             print(f"episode {i}: reward {float(r):8.3f}  "
                   f"discounted {float(g):8.3f}  length {int(l)}")
         print(f"mean reward {rets.mean():.3f} +- {rets.std():.3f}  "
-              f"mean length {lens.mean():.0f}")
+              f"mean length {lens.mean():.0f}  "
+              f"survival {int(round(survival * len(lens)))}/{len(lens)}")
     return dict(rewards=rets, discounted_returns=disc, lengths=lens,
                 mean_reward=float(rets.mean()), std_reward=float(rets.std()),
-                mean_ep_length=float(lens.mean()))
+                mean_ep_length=float(lens.mean()), survival_rate=survival)

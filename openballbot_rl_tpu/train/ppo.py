@@ -301,6 +301,7 @@ class PPO:
         rets, lens = jax.vmap(one_episode)(jax.random.split(key, n_episodes))
         return dict(mean_reward=rets.mean(), std_reward=rets.std(),
                     mean_ep_length=lens.mean().astype(jnp.float32),
+                    survival_rate=(lens >= max_steps).mean(),
                     rewards=rets, lengths=lens)
 
 
