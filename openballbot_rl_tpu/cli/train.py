@@ -96,18 +96,10 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
     cur_value = None
     if cur_param:
         from openballbot_rl_tpu.core.factories import create_terrain as _ct
+        from openballbot_rl_tpu.train.curriculum import CurriculumSchedule
 
-        cur_mode = str(cur_cfg.get("mode", "linear"))
-        cur_start = float(cur_cfg.get("start", 0.0))
-        cur_end = float(cur_cfg.get("end", 1.0))
-        cur_frac = float(cur_cfg.get("anneal_frac", 0.7))
-        cur_every = int(cur_cfg.get("regen_every", 5))
-        # adaptive mode: promote difficulty only when the policy demonstrates
-        # competence (recent mean episode length clears a survival bar), so
-        # the ramp self-paces instead of following the clock
-        cur_step = float(cur_cfg.get("step", (cur_end - cur_start) / 10.0))
-        promote_frac = float(cur_cfg.get("promote_ep_len_frac", 0.85))
-        demote_frac = cur_cfg.get("demote_ep_len_frac")
+        schedule = CurriculumSchedule.from_config(cur_cfg)
+        cur_every = schedule.regen_every
         base_tcfg = dict(terrain_cfg.get("config", {}) or {})
 
         def bank_at(value, key):
@@ -117,19 +109,6 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
                                      env.params.zscale, key, bank_size,
                                      fixed_seed=fixed_seed)
 
-        def next_cur_value(progress, value, ep_len):
-            if cur_mode == "adaptive":
-                max_ep = env.params.max_ep_steps
-                if np.isfinite(ep_len):
-                    if ep_len >= promote_frac * max_ep:
-                        value = min(cur_end, value + cur_step)
-                    elif (demote_frac is not None
-                          and ep_len < float(demote_frac) * max_ep):
-                        value = max(cur_start, value - cur_step)
-                return value
-            t = min(1.0, progress / max(cur_frac, 1e-9))
-            return cur_start + (cur_end - cur_start) * t
-
     # Evaluation always runs on a dedicated bank at FINAL difficulty: under a
     # curriculum, evaluating on the current (easier) bank would make eval
     # rewards non-comparable across training. With a fixed eval bank, an early
@@ -137,7 +116,7 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
     # needs no gating.
     if cur_param:
         key, k_eb = jax.random.split(key)
-        eval_bank = bank_at(cur_end, k_eb)
+        eval_bank = bank_at(schedule.end, k_eb)
     else:
         eval_bank = bank
 
@@ -243,9 +222,10 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
             jax.profiler.start_trace(profile_dir)
             profiling = True
         if cur_param and iteration % cur_every == 0:
-            cur_value = next_cur_value(
+            cur_value = schedule.next_value(
                 int(rs.global_step) / cfg.total_timesteps,
-                cur_start if cur_value is None else cur_value, last_ep_len)
+                schedule.start if cur_value is None else cur_value,
+                last_ep_len, env.params.max_ep_steps)
             key, k_cur = jax.random.split(key)
             bank = bank_at(cur_value, k_cur)
         rs, metrics = algo.train_iteration(rs, bank)

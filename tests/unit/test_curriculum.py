@@ -1,0 +1,73 @@
+"""Curriculum schedule logic (train/curriculum.py) — pure host-side, no JAX."""
+import math
+
+import pytest
+
+from openballbot_rl_tpu.train.curriculum import CurriculumSchedule
+
+
+def make(**kw):
+    base = dict(param="amplitude", start=0.0, end=0.1)
+    base.update(kw)
+    return CurriculumSchedule.from_config(base)
+
+
+class TestLinear:
+    def test_ramp_and_plateau(self):
+        s = make(anneal_frac=0.5)
+        assert s.next_value(0.0, 0.0, 4000, 4000) == 0.0
+        assert s.next_value(0.25, 0.0, 4000, 4000) == pytest.approx(0.05)
+        assert s.next_value(0.5, 0.0, 4000, 4000) == pytest.approx(0.1)
+        # plateaus at `end` after anneal_frac
+        assert s.next_value(0.9, 0.0, 4000, 4000) == pytest.approx(0.1)
+
+    def test_ignores_performance(self):
+        s = make(anneal_frac=0.5)
+        v_good = s.next_value(0.25, 0.0, 4000, 4000)
+        v_bad = s.next_value(0.25, 0.0, 10, 4000)
+        assert v_good == v_bad
+
+
+class TestAdaptive:
+    def test_promotes_on_survival(self):
+        s = make(mode="adaptive", step=0.01)
+        assert s.next_value(0.1, 0.02, 3600, 4000) == pytest.approx(0.03)
+
+    def test_holds_below_bar(self):
+        s = make(mode="adaptive", step=0.01)
+        assert s.next_value(0.1, 0.02, 2000, 4000) == pytest.approx(0.02)
+
+    def test_clamps_at_end(self):
+        s = make(mode="adaptive", step=0.05)
+        assert s.next_value(0.1, 0.08, 4000, 4000) == pytest.approx(0.1)
+
+    def test_nan_ep_len_holds(self):
+        s = make(mode="adaptive", step=0.01)
+        assert s.next_value(0.0, 0.02, math.nan, 4000) == pytest.approx(0.02)
+
+    def test_demotes_on_collapse(self):
+        s = make(mode="adaptive", step=0.01, demote_ep_len_frac=0.25)
+        assert s.next_value(0.1, 0.05, 500, 4000) == pytest.approx(0.04)
+
+    def test_no_demote_by_default(self):
+        s = make(mode="adaptive", step=0.01)
+        assert s.next_value(0.1, 0.05, 500, 4000) == pytest.approx(0.05)
+
+    def test_demote_floors_at_start(self):
+        s = make(mode="adaptive", step=0.05, demote_ep_len_frac=0.25)
+        assert s.next_value(0.1, 0.02, 10, 4000) == pytest.approx(0.0)
+
+    def test_default_step_is_tenth_of_range(self):
+        s = make(mode="adaptive")
+        assert s.next_value(0.1, 0.0, 4000, 4000) == pytest.approx(0.01)
+
+
+class TestConfig:
+    def test_unknown_key_rejected(self):
+        with pytest.raises(ValueError, match="unknown curriculum key"):
+            make(promote_frac=0.9)  # misspelling of promote_ep_len_frac
+
+    def test_unknown_mode_rejected(self):
+        s = make(mode="exponential")
+        with pytest.raises(ValueError, match="unknown curriculum mode"):
+            s.next_value(0.1, 0.0, 4000, 4000)
