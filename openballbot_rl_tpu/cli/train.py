@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import json
 import os
 import random
 import sys
@@ -100,6 +101,14 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
 
         schedule = CurriculumSchedule.from_config(cur_cfg)
         cur_every = schedule.regen_every
+        # adaptive decisions wait at least one episode span so each one is
+        # based on episodes that ran at the current difficulty — the regen
+        # cadence alone (default 5 iters) is ~3x faster than the measurement
+        # latency (max_ep_steps/n_steps iters) and would promote repeatedly
+        # off one stale measurement
+        cur_decide_every = schedule.decide_every if schedule.decide_every \
+            else max(cur_every, -(-env.params.max_ep_steps // cfg.n_steps))
+        cur_last_decision = 0
         base_tcfg = dict(terrain_cfg.get("config", {}) or {})
 
         def bank_at(value, key):
@@ -139,11 +148,25 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
         f.write(f"seed: {seed}\nppo: {dataclasses.asdict(cfg)}\n"
                 f"devices: {jax.devices()}\nstarted: {datetime.now()}\n")
 
+    # trainer state that lives outside the jitted RunnerState (adaptive
+    # curriculum difficulty) rides in a sidecar next to each checkpoint so
+    # exact resume includes it
+    def _save(path, rs):
+        save_checkpoint(path, rs)
+        if cur_param:
+            with open(path + ".trainer.json", "w") as f:
+                json.dump({"curriculum_value": cur_value}, f)
+
     rs = algo.init(bank, k_init)
     resume = config.get("resume", "")
     if resume:
         print(f"resuming full runner state from {resume}")
         rs = restore_checkpoint(resume, rs)
+        sidecar = resume.rstrip("/") + ".trainer.json"
+        if cur_param and os.path.exists(sidecar):
+            with open(sidecar) as f:
+                cur_value = json.load(f).get("curriculum_value")
+            print(f"resumed curriculum {cur_param} = {cur_value}")
 
     # shard envs over available devices when >1
     mesh = None
@@ -154,7 +177,10 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
                         params=replicate(rs.params, mesh),
                         opt_state=replicate(rs.opt_state, mesh))
         bank = replicate(bank, mesh)
-        eval_bank = replicate(eval_bank, mesh) if cur_param else bank
+        if cur_param:   # otherwise eval_bank already aliases the new bank
+            eval_bank = replicate(eval_bank, mesh)
+        else:
+            eval_bank = bank
 
     n_params = sum(x.size for x in jax.tree.leaves(rs.params))
     if verbose:
@@ -222,12 +248,19 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
             jax.profiler.start_trace(profile_dir)
             profiling = True
         if cur_param and iteration % cur_every == 0:
-            cur_value = schedule.next_value(
-                int(rs.global_step) / cfg.total_timesteps,
-                schedule.start if cur_value is None else cur_value,
-                last_ep_len, env.params.max_ep_steps)
+            if cur_value is None:
+                cur_value = schedule.start
+                cur_last_decision = iteration
+            elif (schedule.mode != "adaptive"
+                  or iteration - cur_last_decision >= cur_decide_every):
+                cur_value = schedule.next_value(
+                    int(rs.global_step) / cfg.total_timesteps, cur_value,
+                    last_ep_len, env.params.max_ep_steps)
+                cur_last_decision = iteration
             key, k_cur = jax.random.split(key)
             bank = bank_at(cur_value, k_cur)
+            if mesh is not None:
+                bank = replicate(bank, mesh)
         rs, metrics = algo.train_iteration(rs, bank)
         iteration += 1
         gs = int(rs.global_step)
@@ -267,7 +300,7 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
             row["eval/survival_rate"] = float(ev["survival_rate"])
             if float(ev["mean_reward"]) > best_eval:
                 best_eval = float(ev["mean_reward"])
-                save_checkpoint(os.path.join(out_dir, "best_model"), rs)
+                _save(os.path.join(out_dir, "best_model"), rs)
                 if verbose:
                     print(f"  new best eval {best_eval:.2f} @ {gs} -> best_model")
                 if video_on_best:
@@ -283,8 +316,7 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
 
         if gs >= next_ckpt:
             next_ckpt = gs + ckpt_freq
-            save_checkpoint(os.path.join(out_dir, "checkpoints",
-                                         f"step_{gs}"), rs)
+            _save(os.path.join(out_dir, "checkpoints", f"step_{gs}"), rs)
 
         if profiling and iteration >= 4:
             jax.block_until_ready(metrics["reward_mean"])
@@ -304,7 +336,7 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
     if profiling:   # run ended before the trace window closed
         jax.profiler.stop_trace()
 
-    save_checkpoint(os.path.join(out_dir, "final_model"), rs)
+    _save(os.path.join(out_dir, "final_model"), rs)
     return out_dir
 
 

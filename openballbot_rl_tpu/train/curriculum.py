@@ -30,6 +30,10 @@ class CurriculumSchedule:
     step: Optional[float] = None      # adaptive: increment per promotion
     promote_ep_len_frac: float = 0.85
     demote_ep_len_frac: Optional[float] = None
+    # adaptive: iterations between difficulty decisions; None = auto (one
+    # episode span, ceil(max_ep_steps/n_steps), so every decision is based
+    # on episodes that actually ran at the current difficulty)
+    decide_every: Optional[int] = None
 
     @classmethod
     def from_config(cls, cfg: dict) -> "CurriculumSchedule":
@@ -54,13 +58,22 @@ class CurriculumSchedule:
         (may be NaN before any episode finishes).
         """
         if self.mode == "adaptive":
+            # direction-aware: "promote" always moves toward `end`, "demote"
+            # toward `start`, so descending ranges (start > end, e.g. a knob
+            # where smaller = harder) step correctly instead of snapping to
+            # a boundary
+            direction = 1.0 if self.end >= self.start else -1.0
+            step = abs(self._step_size()) * direction
+            lo = min(self.start, self.end)
+            hi = max(self.start, self.end)
             if math.isfinite(ep_len):
                 if ep_len >= self.promote_ep_len_frac * max_ep_steps:
-                    value = min(self.end, value + self._step_size())
+                    value = value + step
                 elif (self.demote_ep_len_frac is not None
                       and ep_len < float(self.demote_ep_len_frac)
                       * max_ep_steps):
-                    value = max(self.start, value - self._step_size())
+                    value = value - step
+                value = min(hi, max(lo, value))
             return value
         if self.mode != "linear":
             raise ValueError(f"unknown curriculum mode {self.mode!r}")

@@ -61,6 +61,22 @@ class TestAdaptive:
         s = make(mode="adaptive")
         assert s.next_value(0.1, 0.0, 4000, 4000) == pytest.approx(0.01)
 
+    def test_descending_range_promotes_toward_end(self):
+        # smaller = harder knobs (e.g. perlin `scale`): promote moves down
+        s = make(start=50.0, end=20.0, mode="adaptive", step=3.0)
+        assert s.next_value(0.1, 50.0, 4000, 4000) == pytest.approx(47.0)
+        assert s.next_value(0.1, 21.0, 4000, 4000) == pytest.approx(20.0)
+
+    def test_descending_range_demotes_toward_start(self):
+        s = make(start=50.0, end=20.0, mode="adaptive", step=3.0,
+                 demote_ep_len_frac=0.25)
+        assert s.next_value(0.1, 30.0, 100, 4000) == pytest.approx(33.0)
+        assert s.next_value(0.1, 49.0, 100, 4000) == pytest.approx(50.0)
+
+    def test_decide_every_config_key(self):
+        s = make(mode="adaptive", decide_every=16)
+        assert s.decide_every == 16
+
 
 class TestConfig:
     def test_unknown_key_rejected(self):
