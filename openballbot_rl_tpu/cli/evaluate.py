@@ -66,7 +66,29 @@ def main(model_path: str, eval_config: dict, terrain: str = "",
 
     env, terrain_gen = make_env_from_config(config)
     params = load_params_raw(model_path)
-    net = ActorCritic(use_batchnorm=False)
+    # PPO-vs-SAC auto-detect like the reference's PPO.load -> SAC.load
+    # fallback (evaluate.py:25-48): a SAC checkpoint's params tree carries
+    # the actor/critic/target/log_alpha split
+    is_sac = isinstance(params, dict) and "actor" in params \
+        and "critic" in params
+    if is_sac:
+        import jax.numpy as jnp
+
+        from openballbot_rl_tpu.nn.networks import SquashedGaussianActor
+
+        sac_actor = SquashedGaussianActor()
+
+        def apply_fn(p, obs):
+            mean, _ = sac_actor.apply(p["actor"], obs)
+            # evaluate_policy clips the returned mean to [-1,1]; tanh keeps
+            # SAC's native squashed deterministic action inside that box
+            return jnp.tanh(mean), None, None
+
+        if verbose:
+            print("detected SAC checkpoint")
+        net_apply = apply_fn
+    else:
+        net_apply = ActorCritic(use_batchnorm=False).apply
 
     key = jax.random.PRNGKey(seed)
     k_bank, k_eval = jax.random.split(key)
@@ -75,7 +97,7 @@ def main(model_path: str, eval_config: dict, terrain: str = "",
     bank = make_terrain_bank(terrain_gen, env.model.hfield_n,
                              env.params.zscale, k_bank,
                              max(n_test, 8), fixed_seed=fixed_seed)
-    res = evaluate_policy(env, net.apply, params, bank, k_eval,
+    res = evaluate_policy(env, net_apply, params, bank, k_eval,
                           n_episodes=n_test,
                           max_steps=env.params.max_ep_steps,
                           verbose=verbose)
@@ -86,7 +108,7 @@ def main(model_path: str, eval_config: dict, terrain: str = "",
         from openballbot_rl_tpu.utils.episode_log import log_episode_rollout
 
         def policy_fn(obs, k):
-            mean, _, _ = net.apply(params, obs)
+            mean, _, _ = net_apply(params, obs)
             return jnp.clip(mean, -1.0, 1.0)
 
         k_log = jax.random.PRNGKey(seed + 1)

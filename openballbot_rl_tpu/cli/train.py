@@ -45,40 +45,66 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
     from openballbot_rl_tpu.utils.logging import CSVLogger, EvalLog, Stopwatch
 
     algo_cfg = config.get("algo", {})
-    cfg = PPOConfig(
-        num_envs=int(config.get("num_envs", 10)),
-        n_steps=int(algo_cfg.get("n_steps", 2048)),
-        batch_size=int(algo_cfg.get("batch_sz", 256)),
-        n_epochs=int(algo_cfg.get("n_epochs", 5)),
-        gamma=float(algo_cfg.get("gamma", 0.99)),
-        gae_lambda=float(algo_cfg.get("gae_lambda", 0.95)),
-        clip_range=float(algo_cfg.get("clip_range", 0.015)),
-        ent_coef=float(algo_cfg.get("ent_coef", 0.001)),
-        vf_coef=float(algo_cfg.get("vf_coef", 2.0)),
-        target_kl=float(algo_cfg.get("target_kl", 0.3)),
-        weight_decay=float(algo_cfg.get("weight_decay", 0.01)),
-        learning_rate=float(algo_cfg.get("learning_rate", -1)),
-        normalize_advantage=bool(algo_cfg.get("normalize_advantage", False)),
-        total_timesteps=int(float(config.get("total_timesteps", 8e6))),
-    )
+    algo_type = str(algo_cfg.get("type", "ppo")).lower()
+    total_timesteps = int(float(config.get("total_timesteps", 8e6)))
+    num_envs = int(config.get("num_envs", 10))
 
     from openballbot_rl_tpu.envs import make_env_from_config
 
     env, terrain_gen = make_env_from_config(config)
 
-    # policy resolved through the registry (reference policy registration
-    # side effect + create_policy, core/factories.py)
-    pol_cfg = config.get("policy", {}) or {}
-    pol_type = pol_cfg.get("type", "actor_critic")
-    pol_kwargs = dict(pol_cfg.get("config", {}) or {})
-    hidden = tuple(pol_kwargs.pop("hidden_sizes", [128, 128, 128, 128]))
-    if pol_type in ("actor_critic", "mlp"):
-        network = ActorCritic(hidden=hidden, use_batchnorm=False)
-    else:
-        from openballbot_rl_tpu.core.factories import create_policy
+    if algo_type == "sac":
+        from openballbot_rl_tpu.train import SAC, SACConfig
 
-        network = create_policy({"type": pol_type})(**pol_kwargs)
-    algo = PPO(env, cfg, network)
+        cfg = SACConfig(
+            num_envs=num_envs,
+            n_steps=int(algo_cfg.get("n_steps", 32)),
+            buffer_size=int(float(algo_cfg.get("buffer_size", 500_000))),
+            batch_size=int(algo_cfg.get("batch_sz", 256)),
+            gradient_steps=int(algo_cfg.get("gradient_steps", 64)),
+            learning_starts=int(float(algo_cfg.get("learning_starts", 1e4))),
+            gamma=float(algo_cfg.get("gamma", 0.99)),
+            tau=float(algo_cfg.get("tau", 0.005)),
+            learning_rate=float(algo_cfg.get("learning_rate", 3e-4)),
+            ent_coef=str(algo_cfg.get("ent_coef", "auto")),
+            target_entropy=algo_cfg.get("target_entropy"),
+            total_timesteps=total_timesteps,
+        )
+        algo = SAC(env, cfg)
+    elif algo_type == "ppo":
+        cfg = PPOConfig(
+            num_envs=num_envs,
+            n_steps=int(algo_cfg.get("n_steps", 2048)),
+            batch_size=int(algo_cfg.get("batch_sz", 256)),
+            n_epochs=int(algo_cfg.get("n_epochs", 5)),
+            gamma=float(algo_cfg.get("gamma", 0.99)),
+            gae_lambda=float(algo_cfg.get("gae_lambda", 0.95)),
+            clip_range=float(algo_cfg.get("clip_range", 0.015)),
+            ent_coef=float(algo_cfg.get("ent_coef", 0.001)),
+            vf_coef=float(algo_cfg.get("vf_coef", 2.0)),
+            target_kl=float(algo_cfg.get("target_kl", 0.3)),
+            weight_decay=float(algo_cfg.get("weight_decay", 0.01)),
+            learning_rate=float(algo_cfg.get("learning_rate", -1)),
+            normalize_advantage=bool(algo_cfg.get("normalize_advantage",
+                                                  False)),
+            total_timesteps=total_timesteps,
+        )
+
+        # policy resolved through the registry (reference policy registration
+        # side effect + create_policy, core/factories.py)
+        pol_cfg = config.get("policy", {}) or {}
+        pol_type = pol_cfg.get("type", "actor_critic")
+        pol_kwargs = dict(pol_cfg.get("config", {}) or {})
+        hidden = tuple(pol_kwargs.pop("hidden_sizes", [128, 128, 128, 128]))
+        if pol_type in ("actor_critic", "mlp"):
+            network = ActorCritic(hidden=hidden, use_batchnorm=False)
+        else:
+            from openballbot_rl_tpu.core.factories import create_policy
+
+            network = create_policy({"type": pol_type})(**pol_kwargs)
+        algo = PPO(env, cfg, network)
+    else:
+        raise ValueError(f"unknown algo type {algo_type!r} (ppo | sac)")
 
     bank_size = int(config.get("terrain_bank_size", 64))
     terrain_cfg = config.get("problem", {}).get("terrain", {})
@@ -186,12 +212,16 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
     if verbose:
         print(f"run dir: {out_dir}")
         print(f"devices: {jax.devices()}  params: {n_params:,}")
-        updates = cfg.n_epochs * cfg.minibatches_per_epoch
-        print(f"updates per rollout: ~{updates}")
-        if updates > 400:
-            # advisory + confirm (reference train.py:248-281)
-            print(f"WARNING: {updates} gradient updates per rollout is high; "
-                  "consider a larger batch_sz or smaller n_steps")
+        if algo_type == "ppo":
+            updates = cfg.n_epochs * cfg.minibatches_per_epoch
+            print(f"updates per rollout: ~{updates}")
+            if updates > 400:
+                # advisory + confirm (reference train.py:248-281)
+                print(f"WARNING: {updates} gradient updates per rollout is "
+                      "high; consider a larger batch_sz or smaller n_steps")
+        else:
+            print(f"updates per iteration: {cfg.gradient_steps} "
+                  f"(collect {cfg.num_envs * cfg.n_steps} transitions)")
         if not confirm("start training?", default=True,
                        assume_yes=assume_yes):
             raise SystemExit("aborted")
@@ -214,8 +244,7 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
         from openballbot_rl_tpu.viz.rollout import visualize_episodes
 
         def policy_fn(obs, k):
-            mean, _, _ = algo.network.apply(rs.params, obs)
-            return jnp.clip(mean, -1.0, 1.0)
+            return algo.deterministic_action(rs.params, obs)
 
         out = os.path.join(out_dir, "videos", f"{tag}_{gs}.mp4")
         try:

@@ -123,6 +123,73 @@ class ActorCritic(nn.Module):
         return mean, log_std, value
 
 
+class SquashedGaussianActor(nn.Module):
+    """SAC actor: extractor + trunk -> state-dependent (mean, log_std),
+    tanh-squashed Gaussian over [-1, 1]^action_dim.
+
+    Counterpart of SB3's SACPolicy actor (the reference's evaluator accepts
+    SAC checkpoints, ballbot_rl/evaluation/evaluate.py:25-48, but the
+    reference never ships a SAC trainer — this framework does).
+    """
+    action_dim: int = 3
+    hidden: Sequence[int] = (256, 256)
+    latent_dim: int = 20
+    use_batchnorm: bool = False
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, obs: Dict[str, jnp.ndarray], train: bool = False):
+        feats = Extractor(self.latent_dim, use_batchnorm=self.use_batchnorm,
+                          compute_dtype=self.compute_dtype,
+                          name="extractor")(obs, train=train)
+        x = feats.astype(self.compute_dtype)
+        for i, h in enumerate(self.hidden):
+            x = nn.Dense(h, dtype=self.compute_dtype, name=f"fc{i}")(x)
+            x = nn.relu(x)
+        mean = nn.Dense(self.action_dim, dtype=self.compute_dtype,
+                        name="mean")(x).astype(jnp.float32)
+        log_std = nn.Dense(self.action_dim, dtype=self.compute_dtype,
+                           name="log_std")(x).astype(jnp.float32)
+        return mean, jnp.clip(log_std, -20.0, 2.0)
+
+
+class TwinQ(nn.Module):
+    """SAC critic: extractor(obs) ++ action -> two independent Q heads."""
+    hidden: Sequence[int] = (256, 256)
+    latent_dim: int = 20
+    use_batchnorm: bool = False
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, obs: Dict[str, jnp.ndarray], actions: jnp.ndarray,
+                 train: bool = False):
+        feats = Extractor(self.latent_dim, use_batchnorm=self.use_batchnorm,
+                          compute_dtype=self.compute_dtype,
+                          name="extractor")(obs, train=train)
+        x = jnp.concatenate([feats, actions], axis=-1)
+        qs = []
+        for q in range(2):
+            h = x.astype(self.compute_dtype)
+            for i, width in enumerate(self.hidden):
+                h = nn.Dense(width, dtype=self.compute_dtype,
+                             name=f"q{q}_fc{i}")(h)
+                h = nn.relu(h)
+            qs.append(nn.Dense(1, dtype=self.compute_dtype,
+                               name=f"q{q}_out")(h)[..., 0].astype(jnp.float32))
+        return qs[0], qs[1]
+
+
+def squashed_sample_and_logp(key, mean, log_std):
+    """Sample a ~ tanh(N(mean, std)) and its log-density (SAC change of
+    variables: logp = logp_gauss - sum log(1 - tanh(u)^2))."""
+    u = mean + jnp.exp(log_std) * jax.random.normal(key, mean.shape)
+    a = jnp.tanh(u)
+    # log(1 - tanh(u)^2) = 2*(log 2 - u - softplus(-2u)), numerically stable
+    logp = gaussian_log_prob(mean, log_std, u) - jnp.sum(
+        2.0 * (jnp.log(2.0) - u - jax.nn.softplus(-2.0 * u)), axis=-1)
+    return a, logp
+
+
 def gaussian_log_prob(mean, log_std, actions):
     std = jnp.exp(log_std)
     z = (actions - mean) / std

@@ -266,6 +266,11 @@ class PPO:
                              global_step=global_step)
         return new_rs, metrics
 
+    def deterministic_action(self, params, obs):
+        """Mean action, clipped to the env's action box (for eval/video)."""
+        mean, _, _ = self.network.apply(params, obs)
+        return jnp.clip(mean, -1.0, 1.0)
+
     # ---------- deterministic evaluation ----------
     @partial(jax.jit, static_argnums=(0, 3, 4))
     def evaluate(self, params, bank: TerrainBank, n_episodes: int,
