@@ -44,11 +44,21 @@ def main(model_path: str, config: dict = None, n_episodes: int = 2,
 
     env, terrain_gen = make_env_from_config(config)
     params = load_params_raw(model_path)
-    net = ActorCritic(use_batchnorm=False)
+    if isinstance(params, dict) and "actor" in params and "critic" in params:
+        # SAC checkpoint (same auto-detect as ballbot-eval)
+        from openballbot_rl_tpu.nn.networks import SquashedGaussianActor
 
-    def policy_fn(obs, k):
-        mean, _, _ = net.apply(params, obs)
-        return jnp.clip(mean, -1.0, 1.0)
+        sac_actor = SquashedGaussianActor()
+
+        def policy_fn(obs, k):
+            mean, _ = sac_actor.apply(params["actor"], obs)
+            return jnp.tanh(mean)
+    else:
+        net = ActorCritic(use_batchnorm=False)
+
+        def policy_fn(obs, k):
+            mean, _, _ = net.apply(params, obs)
+            return jnp.clip(mean, -1.0, 1.0)
 
     key = jax.random.PRNGKey(seed)
     key, k_bank = jax.random.split(key)
