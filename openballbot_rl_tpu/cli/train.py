@@ -34,7 +34,6 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
         # SPMD across hosts: each process contributes its local devices and
         # runs the same program; DCN carries dispatch, ICI the collectives
         jax.distributed.initialize()
-    import jax.numpy as jnp
 
     from openballbot_rl_tpu.envs import make_env_from_config, make_terrain_bank
     from openballbot_rl_tpu.nn.networks import ActorCritic
