@@ -256,8 +256,17 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
 
     csvlog = CSVLogger(os.path.join(out_dir, "progress.csv"))
     evallog = EvalLog(os.path.join(out_dir, "results"))
+    if resume:
+        # resuming into a dir with history: drop rows recorded past the
+        # checkpoint's step, and don't demote the best model already saved
+        csvlog.truncate(int(rs.global_step))
+        evallog.truncate(int(rs.global_step))
+    else:
+        # fresh run into a confirmed-overwrite dir: discard preloaded history
+        csvlog.truncate(-1)
+        evallog.truncate(-1)
     watch = Stopwatch()
-    best_eval = -np.inf
+    best_eval = evallog.best_mean()
     next_eval = 0
     next_ckpt = 0
     iteration = 0

@@ -22,6 +22,17 @@ class CSVLogger:
         self.path = path
         self.fields: List[str] = []
         self.rows: List[Dict] = []
+        if os.path.exists(path):  # resuming into an existing run dir
+            with open(path, newline="") as f:
+                reader = csv.DictReader(f)
+                self.fields = list(reader.fieldnames or [])
+                self.rows = [{k: v for k, v in r.items() if v not in ("", None)}
+                             for r in reader]
+
+    def truncate(self, step: int) -> None:
+        """Drop rows past `step` (resume from an earlier checkpoint)."""
+        self.rows = [r for r in self.rows
+                     if float(r.get("time/total_timesteps", 0)) <= step]
 
     def log(self, row: Dict[str, float]) -> None:
         self.rows.append(dict(row))
@@ -43,6 +54,25 @@ class EvalLog:
         self.timesteps: List[int] = []
         self.results: List[np.ndarray] = []
         self.ep_lengths: List[np.ndarray] = []
+        prior = os.path.join(out_dir, "evaluations.npz")
+        if os.path.exists(prior):  # resuming into an existing run dir
+            d = np.load(prior)
+            self.timesteps = [int(t) for t in d["timesteps"]]
+            self.results = list(d["results"])
+            self.ep_lengths = list(d["ep_lengths"])
+
+    def truncate(self, step: int) -> None:
+        """Drop evals past `step` (resume from an earlier checkpoint)."""
+        keep = [i for i, t in enumerate(self.timesteps) if t <= step]
+        self.timesteps = [self.timesteps[i] for i in keep]
+        self.results = [self.results[i] for i in keep]
+        self.ep_lengths = [self.ep_lengths[i] for i in keep]
+
+    def best_mean(self) -> float:
+        """Best recorded eval mean (seeds best-model tracking on resume)."""
+        if not self.results:
+            return float("-inf")
+        return max(float(np.mean(r)) for r in self.results)
 
     def add(self, timestep: int, rewards: np.ndarray, lengths: np.ndarray) -> None:
         self.timesteps.append(int(timestep))
