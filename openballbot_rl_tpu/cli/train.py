@@ -277,6 +277,22 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
     profiling = False
 
     steps_per_iter = cfg.num_envs * cfg.n_steps
+
+    # One-slot bank prefetch: under a LINEAR curriculum the next regen value
+    # is a pure function of the step clock, so the host can build the next
+    # bank (native generator + device transfer) while the device runs the
+    # intervening iteration, instead of stalling it at the regen boundary
+    # (~35% slower iterations otherwise). The key split happens at submission
+    # time, so the k_cur stream is identical to the synchronous path whether
+    # the prefetch hits or misses. Adaptive mode depends on episode stats
+    # that only exist after the iteration completes — it stays synchronous.
+    prefetch = None          # (value, k_cur, future)
+    pf_pool = None
+    if cur_param and schedule.mode == "linear":
+        from concurrent.futures import ThreadPoolExecutor
+        pf_pool = ThreadPoolExecutor(max_workers=1)
+    gs_pred = int(rs.global_step)   # exact: each iteration adds steps_per_iter
+
     while int(rs.global_step) < cfg.total_timesteps:
         if max_iterations is not None and iteration >= max_iterations:
             break
@@ -294,12 +310,28 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
                     int(rs.global_step) / cfg.total_timesteps, cur_value,
                     last_ep_len, env.params.max_ep_steps)
                 cur_last_decision = iteration
-            key, k_cur = jax.random.split(key)
-            bank = bank_at(cur_value, k_cur)
+            if prefetch is not None:
+                pf_value, k_cur, fut = prefetch
+                prefetch = None
+                # the key was already split at submission; reuse k_cur on a
+                # miss so the RNG stream is independent of hit/miss
+                bank = fut.result() if pf_value == cur_value \
+                    else bank_at(cur_value, k_cur)
+            else:
+                key, k_cur = jax.random.split(key)
+                bank = bank_at(cur_value, k_cur)
             if mesh is not None:
                 bank = replicate(bank, mesh)
         rs, metrics = algo.train_iteration(rs, bank)
         iteration += 1
+        gs_pred += steps_per_iter
+        if (pf_pool is not None and prefetch is None and cur_value is not None
+                and iteration % cur_every == 0
+                and gs_pred < cfg.total_timesteps):
+            nv = schedule.next_value(gs_pred / cfg.total_timesteps, cur_value,
+                                     last_ep_len, env.params.max_ep_steps)
+            key, k_cur = jax.random.split(key)
+            prefetch = (nv, k_cur, pf_pool.submit(bank_at, nv, k_cur))
         gs = int(rs.global_step)
         fps = watch.fps(gs)
 
@@ -372,6 +404,8 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
 
     if profiling:   # run ended before the trace window closed
         jax.profiler.stop_trace()
+    if pf_pool is not None:
+        pf_pool.shutdown(wait=False, cancel_futures=True)
 
     _save(os.path.join(out_dir, "final_model"), rs)
     return out_dir
