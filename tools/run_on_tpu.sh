@@ -1,15 +1,20 @@
 #!/bin/bash
 # Launch a TPU job robustly: the axon relay wedges cold-start handshakes
-# (especially right after a previous client exited), so probe with a cheap
-# jax.devices() first and only then run the real command.
+# (especially right after a previous client exited, or when the far side
+# still holds a killed client's session), so probe first and only then run
+# the real command. jax.devices() alone can succeed while real compute
+# wedges — the probe must execute a computation.
 # Usage: tools/run_on_tpu.sh <logfile> <cmd...>
 LOG="$1"; shift
-for i in $(seq 1 15); do
-  if timeout 120 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+for i in $(seq 1 20); do
+  if timeout 180 python -c "
+import jax, jax.numpy as jnp
+assert float(jnp.ones((8, 8)).sum()) == 64.0
+" >/dev/null 2>&1; then
     echo "[run_on_tpu] relay live (attempt $i); exec: $*" >> "$LOG"
     exec "$@" >> "$LOG" 2>&1
   fi
-  echo "[run_on_tpu] attempt $i: relay not accepting; sleep 60s" >> "$LOG"
+  echo "[run_on_tpu] attempt $i: relay not accepting compute; sleep 60s" >> "$LOG"
   sleep 60
 done
 echo "[run_on_tpu] relay never recovered" >> "$LOG"; exit 1
