@@ -11,6 +11,9 @@ for i in $(seq 1 20); do
 import jax, jax.numpy as jnp
 assert float(jnp.ones((8, 8)).sum()) == 64.0
 " >/dev/null 2>&1; then
+    # settle: the far side needs a beat after ANY client exit (including the
+    # probe's own) before the next handshake reliably completes
+    sleep 20
     echo "[run_on_tpu] relay live (attempt $i); exec: $*" >> "$LOG"
     exec "$@" >> "$LOG" 2>&1
   fi
