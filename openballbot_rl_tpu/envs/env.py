@@ -349,6 +349,13 @@ def make_env_from_config(config: Dict[str, Any],
         frame_skip = max(1, math.ceil((1.0 / frame_rate) / 0.002 - 1e-9))
         encode_fn = None
         frozen = config.get("frozen_cnn", "") or ""
+        if frozen and not bool(cam.get("disable_rgb", True)):
+            # channel-compat check (reference mlp_policy.py:68-113 validates
+            # the loaded encoder against the obs channel count)
+            raise ValueError(
+                "frozen_cnn encoders are trained on depth-only (C=1) images; "
+                "disable_rgb: false produces C=4 RGBD obs. Drop frozen_cnn "
+                "or use depth-only cameras.")
         if frozen:
             from openballbot_rl_tpu.encoders.training import make_frozen_encoder
             encode_fn, _ = make_frozen_encoder(frozen)

@@ -43,6 +43,7 @@ class BallbotGymEnv(_EnvBase):
                  max_ep_steps: int = 4000,
                  im_shape: Tuple[int, int] = (64, 64),
                  disable_cameras: bool = True,
+                 depth_only: bool = True,    # ballbot_env.py:123 default
                  eval_env: Any = False,
                  GUI: bool = False,                      # noqa: N803 — ref API
                  bank_size: int = 16,
@@ -63,7 +64,8 @@ class BallbotGymEnv(_EnvBase):
             },
             "env": {"max_ep_steps": max_ep_steps, **dict(env_config or {})},
             "camera": {"enabled": not disable_cameras,
-                       "height": im_shape[0], "width": im_shape[1]},
+                       "height": im_shape[0], "width": im_shape[1],
+                       "disable_rgb": depth_only},
         }
         self._env, terrain_gen = make_env_from_config(config)
         self.render_mode = render_mode
@@ -145,10 +147,11 @@ class BallbotGymEnv(_EnvBase):
                    "actions")}
         if getattr(self._env, "vp", None) is not None:
             vp = self._env.vp
+            nchan = 1 if vp.depth_only else 4
             spaces["rgbd_0"] = gym.spaces.Box(
-                0.0, 1.0, (1, vp.height, vp.width), np.float32)
+                0.0, 1.0, (nchan, vp.height, vp.width), np.float32)
             spaces["rgbd_1"] = gym.spaces.Box(
-                0.0, 1.0, (1, vp.height, vp.width), np.float32)
+                0.0, 1.0, (nchan, vp.height, vp.width), np.float32)
             spaces["relative_image_timestamp"] = box((1,))
         return gym.spaces.Dict(spaces)
 

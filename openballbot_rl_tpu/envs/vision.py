@@ -89,6 +89,18 @@ class VisionBallbotEnv:
 
     # ---------- rendering ----------
     def _render(self, bank: TerrainBank, core: EnvState) -> jnp.ndarray:
+        if not self.vp.depth_only:
+            # RGB+depth compat mode (reference depth_only=False): shaded
+            # raycast, exact marcher only — off the paper's hot path
+            sampler = hf.make_sampler(bank.heights, core.terrain_idx,
+                                      self.model.hfield_half_extent,
+                                      self.params.zscale)
+            imgs = self.cams.render_rgbd(sampler, core.phys.base_pos,
+                                         core.phys.base_quat,
+                                         core.phys.ball_pos)   # (2, 4, H, W)
+            if self.encode_fn is not None:
+                return self.encode_fn(imgs)
+            return imgs
         if self.cams.cfg.use_patch:
             # TPU fast path: local patch + polar einsum (sensors/depth.py
             # render_patch) — the per-pixel gather march runs at ~78M

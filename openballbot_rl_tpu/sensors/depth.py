@@ -104,60 +104,124 @@ class DepthCameras:
         self._cam_pos = jnp.asarray(CAM_POS_B)
         self._cam_rot = jnp.asarray(CAM_ROT_B)
 
+    # ---- exact-path tracing primitives (shared by depth and RGBD) ----
+    def _trace_ball(self, origin, dirs_w, ball_pos):
+        """Analytic ray-sphere: t along each ray, inf on miss."""
+        cfg = self.cfg
+        oc = origin - ball_pos
+        b = jnp.einsum("...i,i->...", dirs_w, oc)
+        c = jnp.dot(oc, oc) - self.ball_radius ** 2
+        disc = b * b - c
+        t_ball = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+        return jnp.where((disc > 0) & (t_ball > cfg.znear), t_ball, jnp.inf)
+
+    def _trace_terrain(self, sampler, origin, dirs_w):
+        """Coarse march + bisection refine: (hit_any, t_terr[inf on miss]).
+
+        The march runs as a scan over the ray parameter so memory stays
+        (H, W) per env regardless of coarse_steps — a batched
+        materialization is (B, steps, H, W, 3) and OOMs at scale.
+        """
+        cfg = self.cfg
+        ts = jnp.linspace(cfg.znear, cfg.t_max, cfg.coarse_steps)
+        dt_march = (cfg.t_max - cfg.znear) / (cfg.coarse_steps - 1)
+
+        def below(t):
+            pt = origin[None, None, :] + t[..., None] * dirs_w
+            h, _, _ = sampler(pt[..., 0], pt[..., 1])
+            return pt[..., 2] < h
+
+        def march(carry, t):
+            hit_any, t_hit = carry
+            b = below(jnp.full(dirs_w.shape[:2], t))
+            first_cross = b & ~hit_any
+            t_hit = jnp.where(first_cross, t, t_hit)
+            return (hit_any | b, t_hit), None
+
+        (hit_any, t_hi), _ = jax.lax.scan(
+            march, (jnp.zeros(dirs_w.shape[:2], bool),
+                    jnp.full(dirs_w.shape[:2], cfg.t_max)), ts)
+        t_lo = jnp.maximum(t_hi - dt_march, cfg.znear)
+
+        def bisect(carry, _):
+            t_lo, t_hi = carry
+            mid = 0.5 * (t_lo + t_hi)
+            b = below(mid)
+            return (jnp.where(b, t_lo, mid), jnp.where(b, mid, t_hi)), None
+
+        (t_lo, t_hi), _ = jax.lax.scan(
+            bisect, (t_lo, t_hi), None, length=cfg.refine_steps)
+        return hit_any, jnp.where(hit_any, 0.5 * (t_lo + t_hi), jnp.inf)
+
+    def _cam_rays(self, cam_idx, base_pos, R):
+        origin = base_pos + R @ self._cam_pos[cam_idx]
+        Rcw = R @ self._cam_rot[cam_idx]                     # cam -> world
+        dirs_w = jnp.einsum("ij,hwj->hwi", Rcw, self._dirs)  # (H,W,3)
+        return origin, dirs_w
+
     def __call__(self, sampler: Callable, base_pos, base_quat, ball_pos):
         cfg = self.cfg
         R = quat_to_mat(base_quat)
 
         def render_cam(cam_idx):
-            origin = base_pos + R @ self._cam_pos[cam_idx]
-            Rcw = R @ self._cam_rot[cam_idx]                 # cam -> world
-            dirs_w = jnp.einsum("ij,hwj->hwi", Rcw, self._dirs)  # (H,W,3)
-
-            # --- ball: analytic ray-sphere ---
-            oc = origin - ball_pos
-            b = jnp.einsum("hwi,i->hw", dirs_w, oc)
-            c = jnp.dot(oc, oc) - self.ball_radius ** 2
-            disc = b * b - c
-            t_ball = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
-            t_ball = jnp.where((disc > 0) & (t_ball > cfg.znear), t_ball, jnp.inf)
-
-            # --- terrain: coarse march + bisection ---
-            # the march runs as a scan over the ray parameter so memory
-            # stays (H, W) per env regardless of coarse_steps — a batched
-            # materialization is (B, steps, H, W, 3) and OOMs at scale
-            ts = jnp.linspace(cfg.znear, cfg.t_max, cfg.coarse_steps)
-            dt_march = (cfg.t_max - cfg.znear) / (cfg.coarse_steps - 1)
-
-            def below(t):
-                pt = origin[None, None, :] + t[..., None] * dirs_w
-                h, _, _ = sampler(pt[..., 0], pt[..., 1])
-                return pt[..., 2] < h
-
-            def march(carry, t):
-                hit_any, t_hit = carry
-                b = below(jnp.full(dirs_w.shape[:2], t))
-                first_cross = b & ~hit_any
-                t_hit = jnp.where(first_cross, t, t_hit)
-                return (hit_any | b, t_hit), None
-
-            (hit_any, t_hi), _ = jax.lax.scan(
-                march, (jnp.zeros(dirs_w.shape[:2], bool),
-                        jnp.full(dirs_w.shape[:2], cfg.t_max)), ts)
-            t_lo = jnp.maximum(t_hi - dt_march, cfg.znear)
-
-            def bisect(carry, _):
-                t_lo, t_hi = carry
-                mid = 0.5 * (t_lo + t_hi)
-                b = below(mid)
-                return (jnp.where(b, t_lo, mid), jnp.where(b, mid, t_hi)), None
-
-            (t_lo, t_hi), _ = jax.lax.scan(
-                bisect, (t_lo, t_hi), None, length=cfg.refine_steps)
-            t_terr = jnp.where(hit_any, 0.5 * (t_lo + t_hi), jnp.inf)
-
+            origin, dirs_w = self._cam_rays(cam_idx, base_pos, R)
+            t_ball = self._trace_ball(origin, dirs_w, ball_pos)
+            _, t_terr = self._trace_terrain(sampler, origin, dirs_w)
             t_hit = jnp.minimum(t_ball, t_terr)
             depth = t_hit * self._axial                      # z-buffer depth
             return jnp.clip(depth, 0.0, cfg.max_depth)
+
+        return jnp.stack([render_cam(0), render_cam(1)])
+
+    def render_rgbd(self, sampler: Callable, base_pos, base_quat, ball_pos):
+        """Full RGBD obs: (2, 4, H, W) with channels [R, G, B, depth].
+
+        Counterpart of the reference's RGB+depth camera mode
+        (depth_only=False, ballbot_env.py:123; rgbd.py:45-83 renders RGB via
+        OpenGL and stacks the depth channel). Here RGB is Lambertian-shaded
+        raycasting against {terrain, ball} with a sky background — the same
+        shading model as the offline scene renderer (viz/scene.py). Exact
+        marcher only (the patch fast path produces no hit points); the
+        depth channel matches __call__ exactly. This is a compatibility
+        path: the paper's input and every training config use depth-only.
+        """
+        cfg = self.cfg
+        R = quat_to_mat(base_quat)
+        col_terrain = jnp.array([0.55, 0.47, 0.36])
+        col_ball = jnp.array([0.85, 0.45, 0.15])
+        col_sky = jnp.array([0.65, 0.80, 0.95])
+        sun = jnp.asarray(np.array([0.35, 0.25, 0.9])
+                          / np.linalg.norm([0.35, 0.25, 0.9]), jnp.float32)
+        ambient = 0.35
+
+        def render_cam(cam_idx):
+            origin, dirs_w = self._cam_rays(cam_idx, base_pos, R)
+            t_ball = self._trace_ball(origin, dirs_w, ball_pos)
+            hit_terr, t_terr = self._trace_terrain(sampler, origin, dirs_w)
+            t_hit = jnp.minimum(t_ball, t_terr)
+            depth = jnp.clip(t_hit * self._axial, 0.0, cfg.max_depth)
+
+            ball_front = t_ball < t_terr
+            hit_any = ball_front | hit_terr
+            t_safe = jnp.where(jnp.isfinite(t_hit), t_hit, cfg.t_max)
+            p = origin[None, None, :] + t_safe[..., None] * dirs_w
+
+            # normals: terrain from the sampler's analytic gradient, ball
+            # from the sphere center
+            _, gx, gy = sampler(p[..., 0], p[..., 1])
+            n_terr = jnp.stack([-gx, -gy, jnp.ones_like(gx)], axis=-1)
+            n_terr = n_terr / jnp.linalg.norm(n_terr, axis=-1, keepdims=True)
+            n_ball = (p - ball_pos) / self.ball_radius
+            n = jnp.where(ball_front[..., None], n_ball, n_terr)
+
+            lambert = ambient + (1.0 - ambient) * jnp.maximum(
+                0.0, jnp.einsum("hwi,i->hw", n, sun))
+            base_col = jnp.where(ball_front[..., None], col_ball, col_terrain)
+            rgb = jnp.where(hit_any[..., None], base_col * lambert[..., None],
+                            col_sky)
+            rgb = jnp.clip(rgb, 0.0, 1.0)
+            return jnp.concatenate(
+                [jnp.moveaxis(rgb, -1, 0), depth[None]], axis=0)  # (4, H, W)
 
         return jnp.stack([render_cam(0), render_cam(1)])
 

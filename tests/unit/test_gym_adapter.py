@@ -58,3 +58,16 @@ class TestGymAdapter:
         obs, _ = env.reset(seed=0)
         assert space.contains({k: v.astype(np.float32)
                                for k, v in obs.items()})
+
+
+def test_rgbd_mode_space_and_obs():
+    import gymnasium as gym
+
+    env = gym.make("ballbot-v0.1", terrain_type="flat", max_ep_steps=20,
+                   disable_cameras=False, depth_only=False,
+                   im_shape=(16, 16), bank_size=2)
+    assert env.observation_space["rgbd_0"].shape == (4, 16, 16)
+    obs, _ = env.reset(seed=0)
+    assert obs["rgbd_0"].shape == (4, 16, 16)
+    assert env.observation_space["rgbd_0"].contains(obs["rgbd_0"])
+    env.close()

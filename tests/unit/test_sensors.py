@@ -154,3 +154,67 @@ class TestPatchRenderer:
             jnp.array([1.0, 0, 0, 0]), p - jnp.array([0.0, 0, 0.2])))(
             jnp.tile(jnp.array([0.0, 0, 0.4]), (B, 1)))
         assert out.shape == (B, 2, 16, 16)
+
+
+class TestRGBD:
+    """RGB+depth compat mode (render_rgbd; reference depth_only=False,
+    ballbot_env.py:123 + rgbd.py:45-83)."""
+
+    def _rgbd(self, cams, sampler, base_pos, ball_pos=(0.0, 0.0, -10.0)):
+        return np.asarray(cams.render_rgbd(
+            sampler,
+            jnp.asarray(base_pos, jnp.float32),
+            jnp.array([1.0, 0, 0, 0], jnp.float32),
+            jnp.asarray(ball_pos, jnp.float32)))
+
+    def test_shape_and_range(self, cams, flat_sampler):
+        out = self._rgbd(cams, flat_sampler, (0.0, 0.0, 0.4))
+        assert out.shape == (2, 4, 64, 64)
+        assert out.min() >= 0.0 and out.max() <= 1.0
+
+    def test_depth_channel_matches_depth_path(self, cams, flat_sampler):
+        pos, ball = (0.0, 0.0, 0.4), (0.05, 0.0, 0.09)
+        depth = _render(cams, flat_sampler, pos, ball)
+        rgbd = self._rgbd(cams, flat_sampler, pos, ball)
+        np.testing.assert_allclose(rgbd[:, 3], depth, atol=1e-6)
+
+    def test_sky_pixels_are_sky(self, cams, flat_sampler):
+        # camera high above the ground: every ray's march exhausts t_max
+        # before reaching terrain -> all pixels miss -> exact sky color
+        # (0.65, 0.80, 0.95) and depth at the clip
+        out = self._rgbd(cams, flat_sampler, (0.0, 0.0, 3.0))
+        np.testing.assert_allclose(out[:, 0], 0.65, atol=1e-6)
+        np.testing.assert_allclose(out[:, 1], 0.80, atol=1e-6)
+        np.testing.assert_allclose(out[:, 2], 0.95, atol=1e-6)
+        np.testing.assert_allclose(out[:, 3], 1.0, atol=1e-6)
+
+    def test_ball_pixels_are_ball_colored(self, cams, flat_sampler):
+        # ball dead ahead below the cameras: hit pixels take the warm ball
+        # color (red > green > blue), terrain pixels the brownish tone
+        out = self._rgbd(cams, flat_sampler, (0.0, 0.0, 0.4),
+                         (0.0, 0.15, 0.09))
+        hit = out[0, 3] < 1.0 - 1e-6
+        assert hit.any()
+        r, g, b = out[0, 0][hit], out[0, 1][hit], out[0, 2][hit]
+        assert (r > b).all()                    # both materials are warm
+
+    def test_shading_varies_with_slope(self, cams):
+        # a bumpy terrain must produce non-constant terrain shading
+        n = 293
+        x = np.linspace(0, 8 * np.pi, n)
+        hts = jnp.asarray(0.02 * (1 + np.sin(x))[None, :]
+                          * np.ones((n, 1)), jnp.float32)
+        sampler = hf.make_sampler(hts, None, 5.0, 1.0)
+        out = self._rgbd(cams, sampler, (0.0, 0.0, 0.4))
+        hit = out[0, 3] < 1.0 - 1e-6
+        assert hit.sum() > 50
+        assert np.std(out[0, 0][hit]) > 1e-3
+
+    def test_vmap_batches(self, cams, flat_sampler):
+        B = 3
+        pos = jnp.tile(jnp.array([0.0, 0.0, 0.4]), (B, 1))
+        quat = jnp.tile(jnp.array([1.0, 0, 0, 0]), (B, 1))
+        ball = jnp.tile(jnp.array([0.0, 0.0, 0.09]), (B, 1))
+        out = jax.vmap(lambda p, q, bl: cams.render_rgbd(
+            flat_sampler, p, q, bl))(pos, quat, ball)
+        assert out.shape == (B, 2, 4, 64, 64)

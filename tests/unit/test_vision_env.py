@@ -95,3 +95,29 @@ class TestVisionEnv:
         state, obs, r, done, info = env.step(bank, state, jnp.zeros(3), False)
         assert bool(done)  # hit max steps -> auto-reset
         assert float(obs["relative_image_timestamp"][0]) >= 0.0
+
+
+class TestRGBDMode:
+    """depth_only=False compat mode: C=4 RGBD obs (reference
+    ballbot_env.py:123, observation_spaces.py:26-45)."""
+
+    @pytest.fixture(scope="class")
+    def rgb_env(self):
+        return VisionBallbotEnv(
+            EnvParams(), VisionParams(height=16, width=16, frame_skip=6,
+                                      depth_only=False))
+
+    def test_reset_obs_is_rgbd(self, rgb_env, bank):
+        state, obs = jax.jit(rgb_env.reset)(bank, jax.random.PRNGKey(0))
+        assert obs["rgbd_0"].shape == (4, 16, 16)
+        assert obs["rgbd_1"].shape == (4, 16, 16)
+        assert float(obs["rgbd_0"].min()) >= 0.0
+        assert float(obs["rgbd_0"].max()) <= 1.0
+
+    def test_step_keeps_channels(self, rgb_env, bank):
+        state, _ = jax.jit(rgb_env.reset)(bank, jax.random.PRNGKey(0))
+        step = jax.jit(lambda s: rgb_env.step(
+            bank, s, jnp.zeros(3), do_render=True))
+        state, obs, _, _, info = step(state)
+        assert obs["rgbd_0"].shape == (4, 16, 16)
+        assert info["terminal_obs"]["rgbd_0"].shape == (4, 16, 16)
