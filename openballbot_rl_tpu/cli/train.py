@@ -322,16 +322,18 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
                 bank = bank_at(cur_value, k_cur)
             if mesh is not None:
                 bank = replicate(bank, mesh)
+            if pf_pool is not None:
+                # submit the NEXT regen's bank now — the worker gets the
+                # full regen_every iterations to build + transfer it
+                nv = schedule.next_value(
+                    (gs_pred + cur_every * steps_per_iter)
+                    / cfg.total_timesteps, cur_value,
+                    last_ep_len, env.params.max_ep_steps)
+                key, k_cur = jax.random.split(key)
+                prefetch = (nv, k_cur, pf_pool.submit(bank_at, nv, k_cur))
         rs, metrics = algo.train_iteration(rs, bank)
         iteration += 1
         gs_pred += steps_per_iter
-        if (pf_pool is not None and prefetch is None and cur_value is not None
-                and iteration % cur_every == 0
-                and gs_pred < cfg.total_timesteps):
-            nv = schedule.next_value(gs_pred / cfg.total_timesteps, cur_value,
-                                     last_ep_len, env.params.max_ep_steps)
-            key, k_cur = jax.random.split(key)
-            prefetch = (nv, k_cur, pf_pool.submit(bank_at, nv, k_cur))
         gs = int(rs.global_step)
         fps = watch.fps(gs)
 
