@@ -20,7 +20,37 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 
+def _wait_for_relay() -> None:
+    """Gate on the axon TPU relay accepting real compute.
+
+    The relay admits one client and can wedge new clients for minutes after
+    a previous one exits/dies: jax.devices() succeeds but the first
+    computation blocks forever (see tools/run_on_tpu.sh). Probe in a
+    subprocess (a wedged probe is killed by timeout, the parent survives),
+    then settle before the parent initializes its own client.
+    """
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    import subprocess
+
+    probe = ("import jax, jax.numpy as jnp; "
+             "assert float(jnp.ones((8, 8)).sum()) == 64.0")
+    for attempt in range(20):
+        try:
+            subprocess.run([sys.executable, "-c", probe], timeout=180,
+                           check=True, capture_output=True)
+            time.sleep(20)   # settle: back-to-back handshakes wedge
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            sys.stderr.write(f"[bench] relay probe attempt {attempt + 1} "
+                             "failed; retrying in 60s\n")
+            time.sleep(60)
+    sys.stderr.write("[bench] relay never accepted compute; "
+                     "proceeding anyway\n")
+
+
 def main() -> int:
+    _wait_for_relay()
     import jax
     import jax.numpy as jnp
 
