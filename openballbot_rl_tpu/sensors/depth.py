@@ -35,6 +35,92 @@ import numpy as np
 
 from openballbot_rl_tpu.physics.rotations import quat_to_mat
 
+# polar profile resolution of the patch fast path (render_patch): ~3.75 deg
+# x 3.7 cm — comparable to the 64x64 camera's own pixel footprint at the 1 m
+# depth clip
+_NTH, _NS = 96, 48
+
+# cache of constant patch->polar resample matrices, keyed by geometry
+_POLAR_W_CACHE: dict = {}
+
+
+def _polar_resample_matrix(cell: float, t_max: float, P: int):
+    """Constant (NTH*NS, P*P) bilinear resample matrix in bfloat16.
+
+    Maps a camera-centered (P, P) terrain patch (camera snapped to the
+    lattice cell (P//2, P//2)) onto the fixed polar sample grid. Because the
+    polar offsets are fixed in WORLD axes and the patch is lattice-aligned,
+    the tent weights are the same for every env — one constant matrix that
+    the MXU streams once per batched render, instead of materializing
+    per-env (M, P) weight operands in HBM (which made the einsum
+    formulation bandwidth-bound: ~7 GB per 512-env render).
+    """
+    key = (round(cell, 9), round(t_max, 9), P)
+    if key not in _POLAR_W_CACHE:
+        phis = np.arange(_NTH) * (2.0 * np.pi / _NTH)
+        radii = np.linspace(0.02, t_max, _NS)
+        gx = P // 2 + (radii[None, :] * np.cos(phis)[:, None]).reshape(-1) / cell
+        gy = P // 2 + (radii[None, :] * np.sin(phis)[:, None]).reshape(-1) / cell
+        gx = np.clip(gx, 0.0, P - 1.001)
+        gy = np.clip(gy, 0.0, P - 1.001)
+        c0 = np.floor(gx).astype(np.int64)
+        r0 = np.floor(gy).astype(np.int64)
+        fc = (gx - c0).astype(np.float32)
+        fr = (gy - r0).astype(np.float32)
+        M = gx.shape[0]
+        W = np.zeros((M, P * P), np.float32)
+        rows = np.arange(M)
+        np.add.at(W, (rows, r0 * P + c0), (1 - fr) * (1 - fc))
+        np.add.at(W, (rows, r0 * P + c0 + 1), (1 - fr) * fc)
+        np.add.at(W, (rows, (r0 + 1) * P + c0), fr * (1 - fc))
+        np.add.at(W, (rows, (r0 + 1) * P + c0 + 1), fr * fc)
+        import jax as _jax
+        import jax.numpy as _jnp
+        # the first call may happen inside a trace (first jit of a render):
+        # force eager creation so the cache holds a concrete array, never a
+        # tracer (VisionBallbotEnv.__init__ also pre-warms this cache)
+        with _jax.ensure_compile_time_eval():
+            _POLAR_W_CACHE[key] = _jnp.asarray(W, _jnp.bfloat16)
+    return _POLAR_W_CACHE[key]
+
+
+def _ray_profile_crossing(cz, m, eps, h_ray, radii):
+    """First crossing of ray z(s) = cz + m*(s - eps) with the piecewise-
+    linear height profile h(s) sampled at `radii`. h_ray: (HW, NS), any
+    float dtype (bf16 upcast in the fused expression). Returns
+    (hit_any, s_star) with s_star = 0 where the ray starts at/below the
+    profile (masked 0 where it never crosses).
+
+    Performance shape: the first down-crossing is the masked MIN of
+    per-segment closed-form crossing points (later crossings have larger s
+    by construction), so no cummax/first-true machinery is needed —
+    lax.cummax lowers to a log-depth associative scan that re-materializes
+    the (HW, NS) working set ~6x in HBM and dominated the batched render
+    (7.9 of 15 ms at B=512). Segments use g[:, :-1]/g[:, 1:] SLICES, never
+    concatenate (a concat materializes a second copy of g and breaks XLA
+    fusion); the whole function fuses into ~two passes over h_ray.
+    """
+    r = radii[None, :]
+    g = cz + m[:, None] * (r - eps[:, None]) - h_ray.astype(jnp.float32)
+    ga, gb = g[:, :-1], g[:, 1:]
+    cross = (ga > 0.0) & (gb <= 0.0)
+    denom = ga - gb                                 # > 0 wherever cross
+    frac = jnp.clip(ga / jnp.where(denom > 1e-9, denom, 1.0), 0.0, 1.0)
+    s_cross = radii[:-1][None, :] + (radii[1:] - radii[:-1])[None, :] * frac
+    s_min = jnp.min(jnp.where(cross, s_cross, jnp.inf), axis=1)
+    # virtual segment from s=0 with h held at h(radii[0])
+    g0 = g[:, 0]
+    gp0 = cz - m * eps - h_ray[:, 0].astype(jnp.float32)
+    d0 = gp0 - g0
+    f0 = jnp.clip(gp0 / jnp.where(d0 > 1e-9, d0, 1.0), 0.0, 1.0)
+    s0 = jnp.where((gp0 > 0.0) & (g0 <= 0.0), radii[0] * f0, jnp.inf)
+    s_star = jnp.minimum(s_min, s0)
+    below = (gp0 <= 0.0) & (g0 <= 0.0)
+    hit_any = below | jnp.isfinite(s_star)
+    s_star = jnp.where(below, 0.0, jnp.where(hit_any, s_star, 0.0))
+    return hit_any, s_star
+
+
 # camera constants in the base frame (derived from the compiled model)
 _C30 = math.sqrt(3.0) / 2.0
 CAM_POS_B = np.array([[0.17, -0.01, -0.06],
@@ -226,26 +312,107 @@ class DepthCameras:
         return jnp.stack([render_cam(0), render_cam(1)])
 
     # ------------------------------------------------------------------
-    # TPU fast path: patch + polar profiles + tent-weight einsum (MXU)
+    # TPU fast path: patch + polar profiles, constant-weight matmul (MXU)
     # ------------------------------------------------------------------
     def render_patch(self, heights, idx, half_extent, zscale,
                      base_pos, base_quat, ball_pos):
         """Gather-free terrain rendering against a local patch.
 
         heights: (K, n, n) terrain bank; idx: scalar bank index. The ONLY
-        gather is one contiguous dynamic_slice (the patch). Per camera the
-        terrain is resampled onto a polar grid centered at the camera's
-        ground point via tent-weight (exact bilinear) einsum — MXU matmuls —
-        and each ray intersects its own piecewise-linear radial profile in
-        closed form:
+        gather is one contiguous dynamic_slice per camera (the patch). The
+        terrain is resampled onto a fixed polar grid centered at the
+        camera's ground point SNAPPED to the terrain lattice, so the
+        bilinear resample is one matmul against a constant (M, P^2) weight
+        matrix shared by all envs (see _polar_resample_matrix) — the MXU
+        streams the constant once per batched render instead of writing
+        per-env (M, P) tent operands to HBM. The sub-cell snap offset is
+        folded into each ray as a radial shift eps = u . (true - snapped)
+        (first-order exact; |eps| <= 0.7 cell = 2.4 cm, below the polar
+        grid's own angular footprint). Each ray then intersects its
+        piecewise-linear radial profile in closed form:
 
-            ray height  z(s) = cz + m*s   (s = horizontal distance)
-            hit where   (cz - h(s)) / s <= -m
+            ray height  z(s) = cz + m*(s - eps)   (s = snapped horiz dist)
+            hit where   z(s) <= h(s)
 
-        Accuracy vs the exact marcher: polar resolution ~2.8 deg x 2.5 cm
-        at the 1 m clip — comparable to the camera's own pixel footprint;
-        silhouette pixels can land one sample off (verified within tolerance
-        by tests/unit/test_sensors.py).
+        Accuracy vs the exact marcher: polar resolution ~3.75 deg x 3.7 cm
+        — comparable to the camera's own pixel footprint; silhouette pixels
+        can land one sample off (verified within tolerance by
+        tests/unit/test_sensors.py, which also pins this path against the
+        reference einsum formulation, kept as render_patch_einsum).
+        """
+        cfg = self.cfg
+        n = heights.shape[-1]
+        P = cfg.patch_n
+        assert P <= n, (
+            f"patch_n ({P}) exceeds the terrain grid ({n}); shrink "
+            f"DepthCameraConfig.patch_n or use a larger heightfield")
+        cell = 2.0 * half_extent / (n - 1)
+        Wmat = _polar_resample_matrix(cell, cfg.t_max, P)
+        radii = jnp.linspace(0.02, cfg.t_max, _NS)
+        R = quat_to_mat(base_quat)
+
+        def render_cam(cam_idx):
+            origin = base_pos + R @ self._cam_pos[cam_idx]
+            Rcw = R @ self._cam_rot[cam_idx]
+            dirs_w = jnp.einsum("ij,hwj->hwi", Rcw, self._dirs)
+            H, W = dirs_w.shape[:2]
+            d = dirs_w.reshape(-1, 3)                         # (HW, 3)
+            cz = origin[2]
+
+            # --- ball: analytic ray-sphere (shared with the exact path) ---
+            t_ball = self._trace_ball(origin, d, ball_pos)
+
+            # --- camera-centered patch, snapped to the lattice ---
+            ri = jnp.clip(jnp.round((origin[1] + half_extent) / cell)
+                          .astype(jnp.int32) - P // 2, 0, n - P)
+            cj = jnp.clip(jnp.round((origin[0] + half_extent) / cell)
+                          .astype(jnp.int32) - P // 2, 0, n - P)
+            patch = jax.lax.dynamic_slice(
+                heights, (idx, ri, cj), (1, P, P))[0] * zscale  # meters
+            h_polar = jnp.einsum(
+                "mk,k->m", Wmat, patch.reshape(-1).astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)             # (M,)
+            h_polar = h_polar.reshape(_NTH, _NS)
+            # sub-cell snap offset (world meters)
+            dx = origin[0] - ((cj + P // 2) * cell - half_extent)
+            dy = origin[1] - ((ri + P // 2) * cell - half_extent)
+
+            # --- per-ray height profile via circular tent over theta ---
+            dxy = jnp.maximum(jnp.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2), 1e-4)
+            theta = jnp.arctan2(d[:, 1], d[:, 0])             # (-pi, pi]
+            tcoord = (theta % (2.0 * jnp.pi)) / (2.0 * jnp.pi) * _NTH
+            dist = jnp.abs(tcoord[:, None] - jnp.arange(_NTH)[None, :])
+            dist = jnp.minimum(dist, _NTH - dist)             # circular
+            wth = jnp.maximum(0.0, 1.0 - dist).astype(jnp.bfloat16)
+            # h_ray stays bf16: each profile mixes <=2 polar bins (tent), so
+            # the MXU's f32 accumulation loses nothing downcasting, and bf16
+            # halves the dominant HBM term of the crossing pass (~1 mm
+            # quantization on <=0.6 m heights, under the path's tolerance)
+            h_ray = jnp.einsum("rn,nk->rk", wth,
+                               h_polar.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.bfloat16)
+
+            # --- first crossing: exact per-segment closed form via one
+            # masked min-reduction (_ray_profile_crossing), fully dense (TPU
+            # gathers run ~78M elem/s; argmax + take_along_axis here cost
+            # >100 ms per batched render)
+            m = d[:, 2] / dxy
+            eps = (d[:, 0] * dx + d[:, 1] * dy) / dxy         # (HW,)
+            hit_any, s_star = _ray_profile_crossing(cz, m, eps, h_ray, radii)
+            t_terr = jnp.where(hit_any, (s_star - eps) / dxy, jnp.inf)
+
+            t_hit = jnp.minimum(t_ball, jnp.maximum(t_terr, cfg.znear))
+            depth = t_hit * self._axial.reshape(-1)
+            return jnp.clip(depth, 0.0, cfg.max_depth).reshape(H, W)
+
+        return jnp.stack([render_cam(0), render_cam(1)])
+
+    def render_patch_einsum(self, heights, idx, half_extent, zscale,
+                            base_pos, base_quat, ball_pos):
+        """Reference formulation of the patch fast path (per-env tent-weight
+        einsum, exact bilinear at the true camera point). Kept for A/B
+        validation of render_patch; bandwidth-bound on TPU (the (M, P)
+        weight operands are materialized per env per camera).
         """
         cfg = self.cfg
         n = heights.shape[-1]
@@ -320,26 +487,8 @@ class DepthCameras:
             # fully dense (TPU gathers run ~78M elem/s; argmax +
             # take_along_axis here cost >100 ms per batched render)
             m = d[:, 2] / dxy
-            g = cz + m[:, None] * radii[None, :] - h_ray      # (HW, NS)
-            hit = g <= 0.0
-            hit_any = jnp.any(hit, axis=1)
-            prev_any = jnp.concatenate(
-                [jnp.zeros_like(hit[:, :1]),
-                 jax.lax.cummax(hit.astype(jnp.int8), axis=1)[:, :-1]],
-                axis=1).astype(bool)
-            first = hit & ~prev_any                           # <=1 True per ray
-            # segment k: linear g between (s_prev, g_prev) and (s_k, g_k);
-            # the virtual segment 0 runs from s=0 with h held at h(s_0)
-            g_prev = jnp.concatenate(
-                [(cz - h_ray[:, :1]), g[:, :-1]], axis=1)
-            s_prev = jnp.concatenate([jnp.zeros(1, radii.dtype), radii[:-1]])
-            denom = g_prev - g
-            frac = jnp.where(jnp.abs(denom) > 1e-9,
-                             g_prev / jnp.where(jnp.abs(denom) > 1e-9,
-                                                denom, 1.0), 0.0)
-            s_cross = s_prev[None, :] + (radii - s_prev)[None, :] * jnp.clip(
-                frac, 0.0, 1.0)
-            s_star = jnp.sum(jnp.where(first, s_cross, 0.0), axis=1)
+            hit_any, s_star = _ray_profile_crossing(
+                cz, m, jnp.zeros_like(m), h_ray, radii)
             t_terr = jnp.where(hit_any, s_star / dxy, jnp.inf)
 
             t_hit = jnp.minimum(t_ball, jnp.maximum(t_terr, cfg.znear))

@@ -218,3 +218,31 @@ class TestRGBD:
         out = jax.vmap(lambda p, q, bl: cams.render_rgbd(
             flat_sampler, p, q, bl))(pos, quat, ball)
         assert out.shape == (B, 2, 4, 64, 64)
+
+
+def test_matmul_path_matches_einsum_path():
+    """render_patch (constant-W matmul, lattice-snapped polar center) vs
+    render_patch_einsum (exact bilinear at the true camera point): the snap
+    approximation must stay within the fast path's documented silhouette
+    tolerance."""
+    from openballbot_rl_tpu.core.factories import create_terrain
+
+    gen = create_terrain({"type": "perlin",
+                          "config": {"scale": 25.0, "octaves": 4,
+                                     "persistence": 0.2, "lacunarity": 2.0}})
+    hts = jnp.asarray(gen(293, seed=11), jnp.float32).reshape(1, 293, 293)
+    off = float(hf.spawn_height_offset(hts[0], 2.0))
+    cams = DepthCameras()
+    for shift, tilt in [((0.31, -0.17), 0.0), ((-0.92, 0.64), 0.1222)]:
+        q = jnp.array([np.cos(tilt / 2), np.sin(tilt / 2), 0.0, 0.0],
+                      jnp.float32)
+        bp = jnp.array([shift[0], shift[1], 0.35 + off], jnp.float32)
+        ball = bp + jnp.array([0.0, 0.0, -0.25], jnp.float32)
+        a = np.asarray(cams.render_patch(hts, jnp.asarray(0), 5.0, 2.0,
+                                         bp, q, ball))
+        b = np.asarray(cams.render_patch_einsum(hts, jnp.asarray(0), 5.0,
+                                                2.0, bp, q, ball))
+        d = np.abs(a - b)
+        assert d.mean() < 0.01, f"mean {d.mean():.4f} at {shift}"
+        assert np.quantile(d, 0.95) < 0.03, \
+            f"p95 {np.quantile(d, 0.95):.4f} at {shift}"
