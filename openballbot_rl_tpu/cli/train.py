@@ -67,6 +67,8 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
             learning_rate=float(algo_cfg.get("learning_rate", 3e-4)),
             ent_coef=str(algo_cfg.get("ent_coef", "auto")),
             target_entropy=algo_cfg.get("target_entropy"),
+            replay_window=(int(float(algo_cfg["replay_window"]))
+                           if algo_cfg.get("replay_window") else None),
             total_timesteps=total_timesteps,
         )
         algo = SAC(env, cfg)

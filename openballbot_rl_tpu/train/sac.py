@@ -46,6 +46,12 @@ class SACConfig:
     ent_coef: str = "auto"          # "auto" or a fixed float (as str ok)
     target_entropy: Optional[float] = None   # None => -action_dim
     total_timesteps: int = 8_000_000
+    # Sample only the newest `replay_window` transitions (None = whole
+    # buffer). Under a terrain curriculum the data distribution is
+    # non-stationary: uniform replay keeps serving easy-terrain transitions
+    # whose Q-targets no longer match the current difficulty mix (the
+    # 20M-step frontier run collapsed to 0/64 this way — tutorial 17).
+    replay_window: Optional[int] = None
 
 
 @struct.dataclass
@@ -88,9 +94,17 @@ class ReplayBuffer:
             ptr=(self.ptr + n) % capacity,
             size=jnp.minimum(self.size + n, capacity))
 
-    def sample_idx(self, key, batch_size: int) -> jnp.ndarray:
-        return jax.random.randint(key, (batch_size,), 0,
-                                  jnp.maximum(self.size, 1))
+    def sample_idx(self, key, batch_size: int,
+                   window: Optional[int] = None) -> jnp.ndarray:
+        """Uniform sample over the whole buffer, or (window set) over the
+        newest `window` transitions — ages count back from the write ptr."""
+        if window is None:
+            return jax.random.randint(key, (batch_size,), 0,
+                                      jnp.maximum(self.size, 1))
+        capacity = self.dones.shape[0]
+        n_avail = jnp.maximum(jnp.minimum(self.size, window), 1)
+        age = jax.random.randint(key, (batch_size,), 1, n_avail + 1)
+        return (self.ptr - age) % capacity
 
 
 @struct.dataclass
@@ -216,7 +230,8 @@ class SAC:
         def one_update(carry, _):
             params, opt_state, key = carry
             key, k_idx, k_c, k_a = jax.random.split(key, 4)
-            idx = buffer.sample_idx(k_idx, cfg.batch_size)
+            idx = buffer.sample_idx(k_idx, cfg.batch_size,
+                                    window=cfg.replay_window)
             batch = dict(
                 obs=jax.tree.map(lambda b: b[idx], buffer.obs),
                 next_obs=jax.tree.map(lambda b: b[idx], buffer.next_obs),

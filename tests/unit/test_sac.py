@@ -136,3 +136,40 @@ class TestSACTraining:
                         jax.tree.leaves(rs3.params)):
             assert np.allclose(a, b)
         assert int(rs3.buffer.size) == int(rs2.buffer.size)
+
+
+class TestReplayWindow:
+    def _buf(self, capacity=8):
+        sample_obs = {"a": jnp.zeros((3,)), "b": jnp.zeros((2,))}
+        return ReplayBuffer.create(capacity, sample_obs, action_dim=3)
+
+    def _batch(self, n, val):
+        obs = {"a": jnp.full((n, 3), val), "b": jnp.full((n, 2), val)}
+        return dict(obs=obs, next_obs=obs,
+                    actions=jnp.full((n, 3), val),
+                    rewards=jnp.full((n,), val),
+                    dones=jnp.zeros((n,)))
+
+    def test_window_samples_only_newest(self):
+        buf = self._buf(8)
+        buf = buf.add_batch(**self._batch(6, 1.0))   # slots 0..5 old
+        buf = buf.add_batch(**self._batch(2, 2.0))   # slots 6..7 new, ptr=0
+        idx = buf.sample_idx(jax.random.PRNGKey(0), 512, window=2)
+        assert set(np.asarray(idx).tolist()) <= {6, 7}
+        assert np.allclose(buf.rewards[np.asarray(idx)], 2.0)
+
+    def test_window_handles_wraparound(self):
+        buf = self._buf(8)
+        buf = buf.add_batch(**self._batch(7, 1.0))   # ptr=7
+        buf = buf.add_batch(**self._batch(3, 2.0))   # slots 7,0,1; ptr=2
+        idx = np.asarray(buf.sample_idx(jax.random.PRNGKey(1), 512, window=3))
+        assert set(idx.tolist()) <= {7, 0, 1}
+        assert np.allclose(buf.rewards[idx], 2.0)
+
+    def test_window_larger_than_size_is_uniform(self):
+        buf = self._buf(100)
+        buf = buf.add_batch(**self._batch(10, 1.0))  # ptr=10, size=10
+        idx = np.asarray(buf.sample_idx(jax.random.PRNGKey(2), 2048,
+                                        window=50))
+        assert idx.min() >= 0 and idx.max() <= 9
+        assert len(set(idx.tolist())) == 10          # all live slots reachable
