@@ -100,8 +100,10 @@ def _ray_profile_crossing(cz, m, eps, h_ray, radii):
     concatenate (a concat materializes a second copy of g and breaks XLA
     fusion); the whole function fuses into ~two passes over h_ray.
     """
+    cz = jnp.broadcast_to(jnp.asarray(cz, m.dtype), m.shape)   # per-ray ok
     r = radii[None, :]
-    g = cz + m[:, None] * (r - eps[:, None]) - h_ray.astype(jnp.float32)
+    g = (cz[:, None] + m[:, None] * (r - eps[:, None])
+         - h_ray.astype(jnp.float32))
     ga, gb = g[:, :-1], g[:, 1:]
     cross = (ga > 0.0) & (gb <= 0.0)
     denom = ga - gb                                 # > 0 wherever cross
@@ -351,61 +353,73 @@ class DepthCameras:
         radii = jnp.linspace(0.02, cfg.t_max, _NS)
         R = quat_to_mat(base_quat)
 
-        def render_cam(cam_idx):
-            origin = base_pos + R @ self._cam_pos[cam_idx]
-            Rcw = R @ self._cam_rot[cam_idx]
-            dirs_w = jnp.einsum("ij,hwj->hwi", Rcw, self._dirs)
-            H, W = dirs_w.shape[:2]
-            d = dirs_w.reshape(-1, 3)                         # (HW, 3)
-            cz = origin[2]
+        # both cameras ride through every op STACKED on a leading axis of 2
+        # (half the kernel count of a per-camera python loop; the arrays are
+        # large enough under vmap that per-kernel overhead was measurable)
+        origins = base_pos[None, :] + jnp.einsum(
+            "ij,cj->ci", R, self._cam_pos)                    # (2, 3)
+        Rcw = jnp.einsum("ij,cjk->cik", R, self._cam_rot)     # (2, 3, 3)
+        dirs_w = jnp.einsum("cij,hwj->chwi", Rcw, self._dirs)
+        H, W = dirs_w.shape[1:3]
+        d = dirs_w.reshape(2, -1, 3)                          # (2, HW, 3)
+        HW = d.shape[1]
 
-            # --- ball: analytic ray-sphere (shared with the exact path) ---
-            t_ball = self._trace_ball(origin, d, ball_pos)
+        # --- ball: analytic ray-sphere, stacked over cams ---
+        oc = origins - ball_pos                               # (2, 3)
+        b = jnp.einsum("cri,ci->cr", d, oc)
+        c = jnp.sum(oc * oc, axis=-1)[:, None] - self.ball_radius ** 2
+        disc = b * b - c
+        t_ball = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_ball = jnp.where((disc > 0) & (t_ball > cfg.znear), t_ball, jnp.inf)
 
-            # --- camera-centered patch, snapped to the lattice ---
-            ri = jnp.clip(jnp.round((origin[1] + half_extent) / cell)
-                          .astype(jnp.int32) - P // 2, 0, n - P)
-            cj = jnp.clip(jnp.round((origin[0] + half_extent) / cell)
-                          .astype(jnp.int32) - P // 2, 0, n - P)
-            patch = jax.lax.dynamic_slice(
-                heights, (idx, ri, cj), (1, P, P))[0] * zscale  # meters
-            h_polar = jnp.einsum(
-                "mk,k->m", Wmat, patch.reshape(-1).astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32)             # (M,)
-            h_polar = h_polar.reshape(_NTH, _NS)
-            # sub-cell snap offset (world meters)
-            dx = origin[0] - ((cj + P // 2) * cell - half_extent)
-            dy = origin[1] - ((ri + P // 2) * cell - half_extent)
+        # --- camera-centered patches, snapped to the lattice ---
+        ri = jnp.clip(jnp.round((origins[:, 1] + half_extent) / cell)
+                      .astype(jnp.int32) - P // 2, 0, n - P)  # (2,)
+        cj = jnp.clip(jnp.round((origins[:, 0] + half_extent) / cell)
+                      .astype(jnp.int32) - P // 2, 0, n - P)
+        patches = jnp.stack([
+            jax.lax.dynamic_slice(heights, (idx, ri[k], cj[k]),
+                                  (1, P, P))[0].reshape(-1)
+            for k in range(2)]) * zscale                      # (2, P*P)
+        h_polar = jnp.einsum("mk,ck->cm", Wmat,
+                             patches.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+        h_polar = h_polar.reshape(2, _NTH, _NS)
+        # sub-cell snap offsets (world meters)
+        dx = origins[:, 0] - ((cj + P // 2) * cell - half_extent)  # (2,)
+        dy = origins[:, 1] - ((ri + P // 2) * cell - half_extent)
 
-            # --- per-ray height profile via circular tent over theta ---
-            dxy = jnp.maximum(jnp.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2), 1e-4)
-            theta = jnp.arctan2(d[:, 1], d[:, 0])             # (-pi, pi]
-            tcoord = (theta % (2.0 * jnp.pi)) / (2.0 * jnp.pi) * _NTH
-            dist = jnp.abs(tcoord[:, None] - jnp.arange(_NTH)[None, :])
-            dist = jnp.minimum(dist, _NTH - dist)             # circular
-            wth = jnp.maximum(0.0, 1.0 - dist).astype(jnp.bfloat16)
-            # h_ray stays bf16: each profile mixes <=2 polar bins (tent), so
-            # the MXU's f32 accumulation loses nothing downcasting, and bf16
-            # halves the dominant HBM term of the crossing pass (~1 mm
-            # quantization on <=0.6 m heights, under the path's tolerance)
-            h_ray = jnp.einsum("rn,nk->rk", wth,
-                               h_polar.astype(jnp.bfloat16),
-                               preferred_element_type=jnp.bfloat16)
+        # --- per-ray height profile via circular tent over theta ---
+        dxy = jnp.maximum(jnp.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2), 1e-4)
+        theta = jnp.arctan2(d[..., 1], d[..., 0])             # (-pi, pi]
+        tcoord = (theta % (2.0 * jnp.pi)) / (2.0 * jnp.pi) * _NTH
+        dist = jnp.abs(tcoord[..., None] - jnp.arange(_NTH)[None, None, :])
+        dist = jnp.minimum(dist, _NTH - dist)                 # circular
+        wth = jnp.maximum(0.0, 1.0 - dist).astype(jnp.bfloat16)
+        # h_ray stays bf16: each profile mixes <=2 polar bins (tent), so
+        # the MXU's f32 accumulation loses nothing downcasting, and bf16
+        # halves the dominant HBM term of the crossing pass (~1 mm
+        # quantization on <=0.6 m heights, under the path's tolerance)
+        h_ray = jnp.einsum("crn,cnk->crk", wth,
+                           h_polar.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.bfloat16)
 
-            # --- first crossing: exact per-segment closed form via one
-            # masked min-reduction (_ray_profile_crossing), fully dense (TPU
-            # gathers run ~78M elem/s; argmax + take_along_axis here cost
-            # >100 ms per batched render)
-            m = d[:, 2] / dxy
-            eps = (d[:, 0] * dx + d[:, 1] * dy) / dxy         # (HW,)
-            hit_any, s_star = _ray_profile_crossing(cz, m, eps, h_ray, radii)
-            t_terr = jnp.where(hit_any, (s_star - eps) / dxy, jnp.inf)
+        # --- first crossing: exact per-segment closed form via one masked
+        # min-reduction (_ray_profile_crossing), fully dense (TPU gathers
+        # run ~78M elem/s; argmax + take_along_axis here cost >100 ms per
+        # batched render). Cams flatten into the ray axis.
+        m = (d[..., 2] / dxy).reshape(-1)                     # (2*HW,)
+        eps = ((d[..., 0] * dx[:, None] + d[..., 1] * dy[:, None])
+               / dxy).reshape(-1)
+        czv = jnp.repeat(origins[:, 2], HW)
+        hit_any, s_star = _ray_profile_crossing(
+            czv, m, eps, h_ray.reshape(-1, _NS), radii)
+        t_terr = jnp.where(hit_any, (s_star - eps) / dxy.reshape(-1),
+                           jnp.inf).reshape(2, HW)
 
-            t_hit = jnp.minimum(t_ball, jnp.maximum(t_terr, cfg.znear))
-            depth = t_hit * self._axial.reshape(-1)
-            return jnp.clip(depth, 0.0, cfg.max_depth).reshape(H, W)
-
-        return jnp.stack([render_cam(0), render_cam(1)])
+        t_hit = jnp.minimum(t_ball, jnp.maximum(t_terr, cfg.znear))
+        depth = t_hit * self._axial.reshape(-1)[None, :]
+        return jnp.clip(depth, 0.0, cfg.max_depth).reshape(2, H, W)
 
     def render_patch_einsum(self, heights, idx, half_extent, zscale,
                             base_pos, base_quat, ball_pos):
