@@ -70,3 +70,33 @@ def test_sharded_train_iteration(setup):
         jax.block_until_ready(metrics["reward_mean"])
     assert np.isfinite(float(metrics["pg_loss"]))
     assert len(rs2.env_states.phys.base_pos.sharding.device_set) == 8
+
+
+def test_sharded_training_matches_single_device(setup):
+    """One full PPO iteration (rollout + GAE + minibatched update) must
+    produce the same parameters sharded over 8 devices as on one device —
+    the multi-host-equivalence guarantee SURVEY.md §4 calls for."""
+    env, bank = setup
+    cfg = PPOConfig(num_envs=16, n_steps=8, batch_size=32, n_epochs=1,
+                    total_timesteps=10_000)
+    algo = PPO(env, cfg)
+    rs = algo.init(bank, jax.random.PRNGKey(3))
+
+    ref, ref_metrics = algo.train_iteration(rs, bank)
+    jax.block_until_ready(ref_metrics["reward_mean"])
+
+    mesh = make_mesh(8)
+    with mesh:
+        sh = rs.replace(env_states=shard_env_axis(rs.env_states, mesh),
+                        obs=shard_env_axis(rs.obs, mesh),
+                        params=replicate(rs.params, mesh),
+                        opt_state=replicate(rs.opt_state, mesh))
+        sh2, sh_metrics = algo.train_iteration(sh, replicate(bank, mesh))
+        jax.block_until_ready(sh_metrics["reward_mean"])
+
+    for a, b in zip(jax.tree.leaves(ref.params), jax.tree.leaves(sh2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    assert float(ref_metrics["pg_loss"]) == pytest.approx(
+        float(sh_metrics["pg_loss"]), rel=1e-4, abs=1e-6)
+    assert int(ref_metrics["episodes"]) == int(sh_metrics["episodes"])
