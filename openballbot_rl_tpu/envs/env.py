@@ -72,6 +72,13 @@ class EnvParams:
     cvel_swap: bool = False             # reproduce repo cvel bug (see module doc)
     physics_substeps: int = 1           # physics steps per env step (1 = 500 Hz ctrl)
     zscale: float = 2.0                 # hfield vertical scale (ballbot.xml:23)
+    # Per-env cached terrain patch (gather-free sampling; bit-exact vs the
+    # bank sampler while queries stay inside the patch — hfield.
+    # make_patch_sampler). 32 cells = 1.1 m; refreshing every 16 steps
+    # tolerates >5 m/s of drift against the ~0.5 m in-patch margin.
+    terrain_patch: bool = True
+    terrain_patch_size: int = 32
+    terrain_patch_refresh: int = 16
 
 
 @struct.dataclass
@@ -83,14 +90,26 @@ class EnvState:
     rng: jnp.ndarray               # PRNG key
     episode_return: jnp.ndarray    # G_tau accumulator (ballbot_env.py:1024)
     time: jnp.ndarray              # sim time (s)
+    patch: jnp.ndarray             # (P, P) cached local terrain (or (1, 1))
+    patch_ij: jnp.ndarray          # (2,) int32 slice origin (row, col)
+    tick: jnp.ndarray              # int32 lockstep counter (never reset)
+    bank_version: jnp.ndarray      # int32 bank generation the patch is from
 
 
 @struct.dataclass
 class TerrainBank:
-    """Pre-generated terrains + spawn offsets. heights: (K, n, n) in [0,1]."""
+    """Pre-generated terrains + spawn offsets. heights: (K, n, n) in [0,1].
+
+    `version` distinguishes bank GENERATIONS (curriculum regen swaps the
+    bank under running episodes): when an env's cached terrain patch was
+    sliced from a different version, the next step force-refreshes it, so
+    the patch path tracks bank swaps exactly like the direct sampler.
+    """
     heights: jnp.ndarray
     spawn_offsets: jnp.ndarray     # (K,)
     seeds: jnp.ndarray             # (K,) int32 (for logging/repro)
+    version: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
 
 
 def make_terrain_bank(gen: Callable, n: int, zscale: float, key,
@@ -143,7 +162,13 @@ def make_terrain_bank(gen: Callable, n: int, zscale: float, key,
 
         heights = jax.vmap(one)(seeds)
     offsets = jax.vmap(lambda t: hf.spawn_height_offset(t, zscale))(heights)
-    return TerrainBank(heights=heights, spawn_offsets=offsets, seeds=seeds)
+    # a fresh random version per generated bank: curriculum regen produces a
+    # new generation, and envs holding patches from an older one refresh on
+    # their next step (exactly matching the direct-sampler semantics)
+    version = jax.random.randint(jax.random.fold_in(key, 0x5eed),
+                                 (), 0, jnp.iinfo(jnp.int32).max)
+    return TerrainBank(heights=heights, spawn_offsets=offsets, seeds=seeds,
+                       version=version)
 
 
 class BallbotEnv:
@@ -200,11 +225,48 @@ class BallbotEnv:
             "actions": last_action,
         }
 
+    # ---------- terrain patch cache ----------
+    def _patch_center_origin(self, n: int) -> int:
+        """Slice origin of a patch centered on the spawn point (world 0, 0) —
+        identical to what extract_patch computes there."""
+        P = self.params.terrain_patch_size
+        return min(max(round((n - 1) / 2) - P // 2, 0), n - P)
+
+    def _spawn_patch(self, bank: TerrainBank, idx,
+                     center_patches: Optional[jnp.ndarray] = None):
+        """Patch for a fresh episode (robot spawns at world (0, 0)).
+
+        center_patches, when given, is the (K, P, P) stack of center slices
+        of the whole bank: selecting by one-hot matmul keeps the auto-reset
+        branch inside the vmapped step GATHER-FREE (a per-env dynamic_slice
+        there would run as a batched gather every step, selected or not).
+        """
+        p = self.params
+        n = bank.heights.shape[-1]
+        c0 = self._patch_center_origin(n)
+        if center_patches is None:
+            P = p.terrain_patch_size
+            patch = jax.lax.dynamic_slice(
+                bank.heights, (idx, jnp.asarray(c0), jnp.asarray(c0)),
+                (1, P, P))[0]
+        else:
+            K = center_patches.shape[0]
+            onehot = (jnp.arange(K) == idx).astype(center_patches.dtype)
+            patch = jnp.einsum("k,kij->ij", onehot, center_patches)
+        return patch, jnp.array([c0, c0], jnp.int32)
+
     # ---------- reset ----------
-    def reset(self, bank: TerrainBank, key) -> Tuple[EnvState, Dict]:
+    def reset(self, bank: TerrainBank, key,
+              center_patches: Optional[jnp.ndarray] = None,
+              ) -> Tuple[EnvState, Dict]:
         k_terr, k_state = jax.random.split(key)
         idx = jax.random.randint(k_terr, (), 0, bank.heights.shape[0])
         phys = init_state(self.model, bank.spawn_offsets[idx])
+        if self.params.terrain_patch:
+            patch, patch_ij = self._spawn_patch(bank, idx, center_patches)
+        else:
+            patch = jnp.zeros((1, 1), bank.heights.dtype)
+            patch_ij = jnp.zeros((2,), jnp.int32)
         state = EnvState(
             phys=phys,
             step_counter=jnp.zeros((), jnp.int32),
@@ -213,18 +275,55 @@ class BallbotEnv:
             rng=k_state,
             episode_return=jnp.zeros((), jnp.float32),
             time=jnp.zeros((), jnp.float32),
+            patch=patch,
+            patch_ij=patch_ij,
+            tick=jnp.zeros((), jnp.int32),
+            bank_version=bank.version,
         )
         return state, self._get_obs(phys, state.prev_action)
 
     # ---------- step ----------
     def step(self, bank: TerrainBank, state: EnvState, action: jnp.ndarray,
+             do_refresh=None,
              ) -> Tuple[EnvState, Dict, jnp.ndarray, jnp.ndarray, Dict]:
         p = self.params
         m = self.model
-        # point-sampler over the bank: avoids materializing a per-env
-        # (n, n) terrain slice under vmap (see hfield.make_sampler)
-        terrain = hf.make_sampler(bank.heights, state.terrain_idx,
-                                  m.hfield_half_extent, p.zscale)
+        n = bank.heights.shape[-1]
+        tick = state.tick + 1
+        if p.terrain_patch:
+            # gather-free sampling from the per-env cached patch; the slice
+            # refresh runs on a lockstep cadence (batch_step passes a SCALAR
+            # do_refresh so this stays a real lax.cond, not a select)
+            if do_refresh is None:
+                # a curriculum bank swap must reach the physics on THIS
+                # step, exactly like the direct sampler would; batch_step
+                # folds the same version check in as a SCALAR (adding it
+                # here per-env would demote the cond to a select under vmap)
+                do_refresh = jnp.logical_or(
+                    tick % p.terrain_patch_refresh == 0,
+                    state.bank_version != bank.version)
+
+            def refresh(_):
+                pa, pij = hf.extract_patch(
+                    bank.heights, state.terrain_idx, state.phys.base_pos[0],
+                    state.phys.base_pos[1], n, m.hfield_half_extent,
+                    p.terrain_patch_size)
+                return pa, pij, bank.version
+
+            def keep(_):
+                return state.patch, state.patch_ij, state.bank_version
+
+            patch, patch_ij, bank_version = jax.lax.cond(
+                do_refresh, refresh, keep, None)
+            terrain = hf.make_patch_sampler(patch, patch_ij, n,
+                                            m.hfield_half_extent, p.zscale)
+        else:
+            patch, patch_ij = state.patch, state.patch_ij
+            bank_version = bank.version
+            # point-sampler over the bank: avoids materializing a per-env
+            # (n, n) terrain slice under vmap (see hfield.make_sampler)
+            terrain = hf.make_sampler(bank.heights, state.terrain_idx,
+                                      m.hfield_half_extent, p.zscale)
 
         # action pipeline (ballbot_env.py:901-907): scale, clip, negate —
         # then the actuator ctrlrange clamp MuJoCo applies on top
@@ -279,10 +378,26 @@ class BallbotEnv:
             rng=next_key,
             episode_return=episode_return,
             time=state.time + m.dt * p.physics_substeps,
+            patch=patch,
+            patch_ij=patch_ij,
+            tick=tick,
+            bank_version=bank_version,
         )
-        reset_state, reset_obs = self.reset(bank, reset_key)
+        center_patches = None
+        if p.terrain_patch:
+            # center slices of the whole bank via ONE static contiguous
+            # slice (respawn is always at world (0, 0)); the reset branch
+            # then selects by one-hot matmul — no per-env gather
+            c0 = self._patch_center_origin(n)
+            P = p.terrain_patch_size
+            center_patches = jax.lax.dynamic_slice(
+                bank.heights, (0, c0, c0), (bank.heights.shape[0], P, P))
+        reset_state, reset_obs = self.reset(bank, reset_key, center_patches)
         new_state = jax.tree.map(
             lambda a, b: jnp.where(done, a, b), reset_state, carry_state)
+        # the tick is a lockstep clock shared by the whole batch — it must
+        # NOT reset with an episode or the refresh cadence would desync
+        new_state = new_state.replace(tick=tick)
         new_obs = jax.tree.map(lambda a, b: jnp.where(done, a, b),
                                reset_obs, obs)
         return new_state, new_obs, reward, done, info
@@ -292,7 +407,18 @@ class BallbotEnv:
         return jax.vmap(lambda k: self.reset(bank, k))(keys)
 
     def batch_step(self, bank: TerrainBank, states: EnvState, actions):
-        return jax.vmap(lambda s, a: self.step(bank, s, a))(states, actions)
+        # lockstep patch-refresh cadence: env 0's tick is the global clock —
+        # extracting it BEFORE vmap keeps do_refresh a scalar, so the slice
+        # refresh stays a real lax.cond (1-in-refresh cost), not a select
+        do_refresh = None
+        if self.params.terrain_patch:
+            # bank_version is uniform across the batch (everyone refreshes
+            # on the same scalar cadence), so env 0 speaks for all
+            do_refresh = jnp.logical_or(
+                (states.tick[0] + 1) % self.params.terrain_patch_refresh == 0,
+                states.bank_version[0] != bank.version)
+        return jax.vmap(lambda s, a: self.step(bank, s, a, do_refresh))(
+            states, actions)
 
 
 def make_env_from_config(config: Dict[str, Any],

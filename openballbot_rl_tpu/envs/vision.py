@@ -148,9 +148,11 @@ class VisionBallbotEnv:
 
     # ---------- step ----------
     def step(self, bank: TerrainBank, state: VisionEnvState, action,
-             do_render=None) -> Tuple[VisionEnvState, Dict, jnp.ndarray,
-                                      jnp.ndarray, Dict]:
-        core, obs, reward, done, info = self.env.step(bank, state.core, action)
+             do_render=None, do_refresh=None,
+             ) -> Tuple[VisionEnvState, Dict, jnp.ndarray,
+                        jnp.ndarray, Dict]:
+        core, obs, reward, done, info = self.env.step(bank, state.core,
+                                                      action, do_refresh)
         tick = state.tick + 1
         if do_render is None:
             do_render = tick % self.vp.frame_skip == 0
@@ -187,9 +189,17 @@ class VisionBallbotEnv:
         return jax.vmap(lambda k: self.reset(bank, k))(keys)
 
     def batch_step(self, bank: TerrainBank, states, actions):
-        # lockstep cadence: env 0's tick is the global clock — extracting it
-        # BEFORE vmap keeps do_render a scalar, so the render stays a real
-        # lax.cond (1-in-frame_skip cost), not a per-env select
+        # lockstep cadences: env 0's ticks are the global clocks —
+        # extracting them BEFORE vmap keeps do_render/do_refresh scalars,
+        # so render and terrain-patch refresh stay real lax.conds
+        # (1-in-cadence cost), not per-env selects
         do_render = (states.tick[0] + 1) % self.vp.frame_skip == 0
-        return jax.vmap(lambda s, a: self.step(bank, s, a, do_render))(
+        do_refresh = None
+        if self.env.params.terrain_patch:
+            do_refresh = jnp.logical_or(
+                (states.core.tick[0] + 1)
+                % self.env.params.terrain_patch_refresh == 0,
+                states.core.bank_version[0] != bank.version)
+        return jax.vmap(
+            lambda s, a: self.step(bank, s, a, do_render, do_refresh))(
             states, actions)
