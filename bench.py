@@ -39,7 +39,9 @@ def _wait_for_relay() -> None:
         try:
             subprocess.run([sys.executable, "-c", probe], timeout=180,
                            check=True, capture_output=True)
-            time.sleep(20)   # settle: back-to-back handshakes wedge
+            # settle: back-to-back handshakes wedge; keep this value in
+            # sync with tools/run_on_tpu.sh (20 s proved insufficient)
+            time.sleep(45)
             return
         except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
             sys.stderr.write(f"[bench] relay probe attempt {attempt + 1} "

@@ -289,10 +289,34 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
     # the prefetch hits or misses. Adaptive mode depends on episode stats
     # that only exist after the iteration completes — it stays synchronous.
     prefetch = None          # (value, k_cur, future)
-    pf_pool = None
-    if cur_param and schedule.mode == "linear":
-        from concurrent.futures import ThreadPoolExecutor
-        pf_pool = ThreadPoolExecutor(max_workers=1)
+    pf_enabled = bool(cur_param) and schedule.mode == "linear"
+
+    def _submit_prefetch(value, k_cur):
+        # daemon thread, not a ThreadPoolExecutor: its non-daemon workers
+        # are joined at interpreter exit, so a wedged device transfer in
+        # the worker (the TPU relay's known failure mode) would hang the
+        # process forever after any training exception
+        import threading
+
+        box = {}
+
+        def run():
+            try:
+                box["value"] = bank_at(value, k_cur)
+            except BaseException as e:  # noqa: BLE001 — re-raised on result
+                box["error"] = e
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+
+        class _F:
+            def result(self):
+                t.join()
+                if "error" in box:
+                    raise box["error"]
+                return box["value"]
+
+        return _F()
     gs_pred = int(rs.global_step)   # exact: each iteration adds steps_per_iter
 
     while int(rs.global_step) < cfg.total_timesteps:
@@ -324,7 +348,7 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
                 bank = bank_at(cur_value, k_cur)
             if mesh is not None:
                 bank = replicate(bank, mesh)
-            if pf_pool is not None:
+            if pf_enabled:
                 # submit the NEXT regen's bank now — the worker gets the
                 # full regen_every iterations to build + transfer it
                 nv = schedule.next_value(
@@ -332,7 +356,7 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
                     / cfg.total_timesteps, cur_value,
                     last_ep_len, env.params.max_ep_steps)
                 key, k_cur = jax.random.split(key)
-                prefetch = (nv, k_cur, pf_pool.submit(bank_at, nv, k_cur))
+                prefetch = (nv, k_cur, _submit_prefetch(nv, k_cur))
         rs, metrics = algo.train_iteration(rs, bank)
         iteration += 1
         gs_pred += steps_per_iter
@@ -408,8 +432,6 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
 
     if profiling:   # run ended before the trace window closed
         jax.profiler.stop_trace()
-    if pf_pool is not None:
-        pf_pool.shutdown(wait=False, cancel_futures=True)
 
     _save(os.path.join(out_dir, "final_model"), rs)
     return out_dir

@@ -252,7 +252,10 @@ class BallbotEnv:
         else:
             K = center_patches.shape[0]
             onehot = (jnp.arange(K) == idx).astype(center_patches.dtype)
-            patch = jnp.einsum("k,kij->ij", onehot, center_patches)
+            # HIGHEST: a default-precision dot would bf16-truncate the
+            # selected heights on TPU and break patch/sampler bit-exactness
+            patch = jnp.einsum("k,kij->ij", onehot, center_patches,
+                               precision=jax.lax.Precision.HIGHEST)
         return patch, jnp.array([c0, c0], jnp.int32)
 
     # ---------- reset ----------

@@ -86,13 +86,15 @@ class VisionBallbotEnv:
         self.cams = DepthCameras(
             DepthCameraConfig(height=vision.height, width=vision.width),
             ball_radius=float(self.model.ball_radius))
-        # pre-warm the constant patch->polar resample matrix eagerly (its
-        # geometry is fixed by the model), outside any jit trace
-        from openballbot_rl_tpu.sensors.depth import _polar_resample_matrix
-        n = self.model.hfield_n
-        cell = 2.0 * float(self.model.hfield_half_extent) / (n - 1)
-        _polar_resample_matrix(cell, self.cams.cfg.t_max,
-                               self.cams.cfg.patch_n)
+        if vision.depth_only and self.cams.cfg.use_patch:
+            # pre-warm the constant patch->polar resample matrix eagerly
+            # (its geometry is fixed by the model), outside any jit trace;
+            # RGBD and use_patch=False configs never read it (~128 MB HBM)
+            from openballbot_rl_tpu.sensors.depth import _polar_resample_matrix
+            n = self.model.hfield_n
+            cell = 2.0 * float(self.model.hfield_half_extent) / (n - 1)
+            _polar_resample_matrix(cell, self.cams.cfg.t_max,
+                                   self.cams.cfg.patch_n)
 
     # ---------- rendering ----------
     def _render(self, bank: TerrainBank, core: EnvState) -> jnp.ndarray:

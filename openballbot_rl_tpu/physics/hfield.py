@@ -111,6 +111,8 @@ def make_patch_sampler(patch: jnp.ndarray, patch_ij: jnp.ndarray,
     cols = jnp.arange(P, dtype=jnp.int32)
 
     def tap4(i0, i1, j0, j1):
+        import jax
+
         shape = i0.shape
         i0 = i0.reshape(-1)
         i1 = i1.reshape(-1)
@@ -120,8 +122,14 @@ def make_patch_sampler(patch: jnp.ndarray, patch_ij: jnp.ndarray,
         oi1 = (i1[:, None] == cols[None, :]).astype(patch.dtype)
         oj0 = (j0[:, None] == cols[None, :]).astype(patch.dtype)
         oj1 = (j1[:, None] == cols[None, :]).astype(patch.dtype)
-        rows0 = oi0 @ patch                       # (M, P): row i0 of patch
-        rows1 = oi1 @ patch
+        # Precision.HIGHEST: TPU dots default to bf16 multiplies, which
+        # would truncate the selected heights and silently break the
+        # bit-exactness contract (CPU tests cannot catch it). HIGHEST's
+        # 3-term bf16 decomposition is exact for f32 inputs, and these
+        # dots are tiny (M x P x P).
+        hi = jax.lax.Precision.HIGHEST
+        rows0 = jnp.matmul(oi0, patch, precision=hi)  # (M, P): row i0
+        rows1 = jnp.matmul(oi1, patch, precision=hi)
         t00 = jnp.sum(rows0 * oj0, axis=-1)
         t01 = jnp.sum(rows0 * oj1, axis=-1)
         t10 = jnp.sum(rows1 * oj0, axis=-1)

@@ -385,21 +385,39 @@ class DepthCameras:
         t_ball = jnp.where((disc > 0) & (t_ball > cfg.znear), t_ball, jnp.inf)
 
         # --- camera-centered patches, snapped to the lattice ---
-        ri = jnp.clip(jnp.round((origins[:, 1] + half_extent) / cell)
-                      .astype(jnp.int32) - P // 2, 0, n - P)  # (2,)
-        cj = jnp.clip(jnp.round((origins[:, 0] + half_extent) / cell)
-                      .astype(jnp.int32) - P // 2, 0, n - P)
+        crow = jnp.round((origins[:, 1] + half_extent) / cell) \
+            .astype(jnp.int32)                                # (2,)
+        ccol = jnp.round((origins[:, 0] + half_extent) / cell) \
+            .astype(jnp.int32)
+        ri = jnp.clip(crow - P // 2, 0, n - P)
+        cj = jnp.clip(ccol - P // 2, 0, n - P)
         patches = jnp.stack([
             jax.lax.dynamic_slice(heights, (idx, ri[k], cj[k]),
-                                  (1, P, P))[0].reshape(-1)
-            for k in range(2)]) * zscale                      # (2, P*P)
-        h_polar = jnp.einsum("mk,ck->cm", Wmat,
-                             patches.astype(jnp.bfloat16),
+                                  (1, P, P))[0]
+            for k in range(2)]) * zscale                      # (2, P, P)
+        # Edge-replicating recentre: W assumes the camera at patch cell
+        # (P//2, P//2), but near the world border the slice clamps and the
+        # camera lands off-center (up to ~2 m — far beyond the first-order
+        # eps correction's validity). Remap virtual camera-centered rows
+        # v -> world rows clip(crow - P//2 + v, 0, n-1) with one-hot
+        # selection matmuls: identity (bit-exact no-op) in the interior,
+        # clamp-to-edge at the border — the same semantics the exact
+        # marcher gets from the sampler's query clamp.
+        v = jnp.arange(P, dtype=jnp.int32)
+        lr = jnp.clip(crow[:, None] - P // 2 + v[None, :], 0, n - 1) \
+            - ri[:, None]                                     # (2, P)
+        lc = jnp.clip(ccol[:, None] - P // 2 + v[None, :], 0, n - 1) \
+            - cj[:, None]
+        Rr = (lr[:, :, None] == v[None, None, :]).astype(jnp.bfloat16)
+        Rc = (lc[:, :, None] == v[None, None, :]).astype(jnp.bfloat16)
+        pc = jnp.einsum("cvr,crk,cwk->cvw", Rr,
+                        patches.astype(jnp.bfloat16), Rc)     # (2, P, P)
+        h_polar = jnp.einsum("mk,ck->cm", Wmat, pc.reshape(2, -1),
                              preferred_element_type=jnp.float32)
         h_polar = h_polar.reshape(2, _NTH, _NS)
-        # sub-cell snap offsets (world meters)
-        dx = origins[:, 0] - ((cj + P // 2) * cell - half_extent)  # (2,)
-        dy = origins[:, 1] - ((ri + P // 2) * cell - half_extent)
+        # sub-cell snap offsets (world meters; <= 0.7 cell by construction)
+        dx = origins[:, 0] - (ccol * cell - half_extent)      # (2,)
+        dy = origins[:, 1] - (crow * cell - half_extent)
 
         # --- per-ray height profile via circular tent over theta ---
         dxy = jnp.maximum(jnp.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2), 1e-4)

@@ -246,3 +246,31 @@ def test_matmul_path_matches_einsum_path():
         assert d.mean() < 0.01, f"mean {d.mean():.4f} at {shift}"
         assert np.quantile(d, 0.95) < 0.03, \
             f"p95 {np.quantile(d, 0.95):.4f} at {shift}"
+
+
+def test_patch_render_correct_at_world_border():
+    """Near the terrain border the patch slice clamps; the edge-replicating
+    recentre must keep depths tracking the exact marcher (which clamps
+    queries to the world) instead of sampling around a wrong center."""
+    from openballbot_rl_tpu.core.factories import create_terrain
+
+    gen = create_terrain({"type": "perlin",
+                          "config": {"scale": 25.0, "octaves": 4,
+                                     "persistence": 0.2, "lacunarity": 2.0}})
+    hts = jnp.asarray(gen(293, seed=13), jnp.float32).reshape(1, 293, 293)
+    cams = DepthCameras()
+    sam = hf.make_sampler(hts, jnp.asarray(0), 5.0, 2.0)
+    for pos in [(0.0, 4.4), (4.4, 0.0), (-4.3, -4.3), (0.0, 4.95)]:
+        gx = int((pos[0] + 5.0) / 10.0 * 292)
+        gy = int((pos[1] + 5.0) / 10.0 * 292)
+        h_local = float(hts[0, max(0, min(gy, 292)), max(0, min(gx, 292))]) * 2.0
+        bp = jnp.array([pos[0], pos[1], h_local + 0.35], jnp.float32)
+        q = jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)
+        ball = bp + jnp.array([0.0, 0.0, -0.25], jnp.float32)
+        exact = np.asarray(cams(sam, bp, q, ball))
+        fast = np.asarray(cams.render_patch(hts, jnp.asarray(0), 5.0, 2.0,
+                                            bp, q, ball))
+        d = np.abs(exact - fast)
+        assert d.mean() < 0.03, f"mean {d.mean():.4f} at {pos}"
+        assert np.quantile(d, 0.95) < 0.08, \
+            f"p95 {np.quantile(d, 0.95):.4f} at {pos}"
