@@ -128,6 +128,45 @@ def main() -> int:
                   f"(tol 1e-05) -> FAIL")
     print(f"terrains: worst dev {worst_dev:.2e} ({worst_t or 'n/a'}), "
           f"tol 1e-05, {len(tg.files)} generators")
+
+    # patch-cached vs direct terrain sampling ON THIS BACKEND: the env's
+    # gather-free patch path claims bit-exactness (envs/env.py
+    # EnvParams.terrain_patch); its one-hot dots are pinned to
+    # Precision.HIGHEST precisely so this holds on TPU, where default-
+    # precision dots would bf16-truncate the heights. CPU tests cannot
+    # catch that — this check can.
+    from openballbot_rl_tpu.envs import BallbotEnv, EnvParams, make_terrain_bank
+
+    gen = create_terrain({"type": "perlin",
+                          "config": {"scale": 25.0, "octaves": 4,
+                                     "persistence": 0.2, "lacunarity": 2.0}})
+    bank = make_terrain_bank(gen, 293, 2.0, jax.random.PRNGKey(0), 2)
+    B, T = 4, 200
+    outs = {}
+    for flag in (True, False):
+        env = BallbotEnv(EnvParams(max_ep_steps=70, terrain_patch=flag))
+        keys = jax.random.split(jax.random.PRNGKey(2), B)
+        states, _ = jax.jit(env.batch_reset)(bank, keys)
+
+        @jax.jit
+        def roll(states):
+            def f(carry, _):
+                st, key = carry
+                key, k = jax.random.split(key)
+                a = jax.random.uniform(k, (B, 3), minval=-1, maxval=1)
+                st, o, r, d, _ = env.batch_step(bank, st, a)
+                return (st, key), (st.phys.base_pos, r)
+            return jax.lax.scan(f, (states, jax.random.PRNGKey(3)),
+                                None, length=T)[1]
+        outs[flag] = jax.tree.map(np.asarray, roll(states))
+    pdev = np.abs(outs[True][0] - outs[False][0]).max()
+    rdev = np.abs(outs[True][1] - outs[False][1]).max()
+    patch_ok = pdev == 0.0 and rdev == 0.0
+    ok &= patch_ok
+    print(f"patch sampler vs direct ({T} steps, B={B}): pos dev {pdev:.2e}, "
+          f"reward dev {rdev:.2e} (tol 0 — bitwise) -> "
+          f"{'OK' if patch_ok else 'FAIL'}")
+
     print("DEVICE PARITY:", "OK" if ok else "FAIL")
     return 0 if ok else 1
 
