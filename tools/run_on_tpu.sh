@@ -13,7 +13,7 @@ assert float(jnp.ones((8, 8)).sum()) == 64.0
 " >/dev/null 2>&1; then
     # settle: the far side needs a beat after ANY client exit (including the
     # probe's own) before the next handshake reliably completes
-    sleep 20
+    sleep 45
     echo "[run_on_tpu] relay live (attempt $i); exec: $*" >> "$LOG"
     exec "$@" >> "$LOG" 2>&1
   fi
