@@ -47,8 +47,11 @@ def _wait_for_relay() -> None:
             sys.stderr.write(f"[bench] relay probe attempt {attempt + 1} "
                              "failed; retrying in 60s\n")
             time.sleep(60)
-    sys.stderr.write("[bench] relay never accepted compute; "
-                     "proceeding anyway\n")
+    # proceeding would wedge the parent forever on its first computation
+    # (a dead relay never recovers from inside this container) — fail fast
+    # so the caller sees a nonzero exit instead of a hang
+    sys.stderr.write("[bench] relay never accepted compute; aborting\n")
+    raise SystemExit(2)
 
 
 def main() -> int:
