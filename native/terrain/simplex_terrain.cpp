@@ -1,10 +1,14 @@
 // Host-side terrain bank generator (C++, OpenMP).
 //
-// Native counterpart of openballbot_rl_tpu/terrain/simplex.py — the SAME
-// Gustavson 2D simplex algorithm over the SAME Ken Perlin permutation table,
-// so outputs agree with the JAX implementation to float32 roundoff (verified
-// by tests/unit/test_native_terrain.py). Purpose: overlap terrain-bank
-// regeneration with TPU training — banks for the next training phase are
+// Native counterpart of openballbot_rl_tpu/terrain/simplex.py and of the
+// vendored oracle tools/vendored_snoise.py: the C `noise` package's snoise2
+// TILED path consumed by the reference's perlin terrain
+// (ballbot_gym/terrain/perlin.py:50-66 — repeatx=repeaty=1024, base=seed),
+// i.e. each axis wrapped onto a circle via the library's fast-sine
+// polynomial and fBm over 4D simplex noise on that torus. Outputs agree
+// with the JAX implementation to float32 round-off (verified by
+// tests/unit/test_native_terrain.py). Purpose: overlap terrain-bank
+// regeneration with TPU training — banks for the next curriculum phase are
 // produced by host cores while the chip runs the current one — and serve as
 // an independent cross-check of the JAX noise.
 //
@@ -13,7 +17,9 @@
 //                      amplitude, base, out[n*n])
 //   obb_perlin_bank(count, seeds[count], n, ..., out[count*n*n])
 //
-// Build: make -C native  (produces native/libobb_terrain.so)
+// Build: make -C native  (produces native/libobb_terrain.so).
+// NOTE: built with -ffp-contract=off so float arithmetic matches the
+// NumPy/JAX op-by-op rounding (no FMA contraction).
 
 #include <cmath>
 #include <cstdint>
@@ -41,80 +47,156 @@ const int kPerm[256] = {
     205, 93,  222, 114, 67,  29,  24,  72,  243, 141, 128, 195, 78,  66,
     215, 61,  156, 180};
 
-const float kGrad2[8][2] = {{1, 1},  {-1, 1}, {1, -1}, {-1, -1},
-                            {1, 0},  {-1, 0}, {0, 1},  {0, -1}};
-
-const float kF2 = 0.5f * (std::sqrt(3.0f) - 1.0f);
-const float kG2 = (3.0f - std::sqrt(3.0f)) / 6.0f;
-
 inline int perm(int i) { return kPerm[i & 255]; }
 
-inline float grad_dot(int hash_val, float x, float y) {
-  const float* g = kGrad2[hash_val & 7];
-  return g[0] * x + g[1] * y;
+// 32 4D gradients (hash & 0x1f), canonical Gustavson set.
+const float kGrad4[32][4] = {
+    {0, 1, 1, 1},   {0, 1, 1, -1},   {0, 1, -1, 1},   {0, 1, -1, -1},
+    {0, -1, 1, 1},  {0, -1, 1, -1},  {0, -1, -1, 1},  {0, -1, -1, -1},
+    {1, 0, 1, 1},   {1, 0, 1, -1},   {1, 0, -1, 1},   {1, 0, -1, -1},
+    {-1, 0, 1, 1},  {-1, 0, 1, -1},  {-1, 0, -1, 1},  {-1, 0, -1, -1},
+    {1, 1, 0, 1},   {1, 1, 0, -1},   {1, -1, 0, 1},   {1, -1, 0, -1},
+    {-1, 1, 0, 1},  {-1, 1, 0, -1},  {-1, -1, 0, 1},  {-1, -1, 0, -1},
+    {1, 1, 1, 0},   {1, 1, -1, 0},   {1, -1, 1, 0},   {1, -1, -1, 0},
+    {-1, 1, 1, 0},  {-1, 1, -1, 0},  {-1, -1, 1, 0},  {-1, -1, -1, 0}};
+
+// Simplex corner traversal order by 6-bit comparison code.
+const int kSimplex[64][4] = {
+    {0, 1, 2, 3}, {0, 1, 3, 2}, {0, 0, 0, 0}, {0, 2, 3, 1},
+    {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0}, {1, 2, 3, 0},
+    {0, 2, 1, 3}, {0, 0, 0, 0}, {0, 3, 1, 2}, {0, 3, 2, 1},
+    {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0}, {1, 3, 2, 0},
+    {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0},
+    {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0},
+    {1, 2, 0, 3}, {0, 0, 0, 0}, {1, 3, 0, 2}, {0, 0, 0, 0},
+    {0, 0, 0, 0}, {0, 0, 0, 0}, {2, 3, 0, 1}, {2, 3, 1, 0},
+    {1, 0, 2, 3}, {1, 0, 3, 2}, {0, 0, 0, 0}, {0, 0, 0, 0},
+    {0, 0, 0, 0}, {2, 0, 3, 1}, {0, 0, 0, 0}, {2, 1, 3, 0},
+    {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0},
+    {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0},
+    {2, 0, 1, 3}, {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0},
+    {3, 0, 1, 2}, {3, 0, 2, 1}, {0, 0, 0, 0}, {3, 1, 2, 0},
+    {2, 1, 0, 3}, {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0},
+    {3, 1, 0, 2}, {0, 0, 0, 0}, {3, 2, 0, 1}, {3, 2, 1, 0}};
+
+const float kF4 = 0.30901699437494745f;  // (sqrt(5) - 1) / 4
+const float kG4 = 0.1381966011250105f;   // (5 - sqrt(5)) / 20
+const double kM1Pi = 0.31830988618379067154;
+const double kMPi2 = 1.57079632679489661923;
+
+// The C noise library's parabola sine (float32, period 2*pi).
+inline float fast_sin(float xin) {
+  float x = static_cast<float>(static_cast<double>(xin) * kM1Pi);
+  volatile float z = x + 25165824.0f;  // wrap into [-1, 1] (units of pi)
+  x = x - (z - 25165824.0f);
+  const float y = x - x * std::fabs(x);
+  return y * (3.1f + 3.6f * std::fabs(y));
 }
 
-float snoise2(float x, float y, int base) {
-  const float s = (x + y) * kF2;
-  const int i = static_cast<int>(std::floor(x + s));
-  const int j = static_cast<int>(std::floor(y + s));
-  const float t = static_cast<float>(i + j) * kG2;
-  const float x0 = x - (static_cast<float>(i) - t);
-  const float y0 = y - (static_cast<float>(j) - t);
-
-  const bool upper = x0 > y0;
-  const int i1 = upper ? 1 : 0;
-  const int j1 = upper ? 0 : 1;
-
-  const float x1 = x0 - static_cast<float>(i1) + kG2;
-  const float y1 = y0 - static_cast<float>(j1) + kG2;
-  const float x2 = x0 - 1.0f + 2.0f * kG2;
-  const float y2 = y0 - 1.0f + 2.0f * kG2;
-
-  const int ii = i & 255;
-  const int jj = j & 255;
-  // base reseeds by offsetting the inner permutation lookup
-  // (terrain/simplex.py:85-89 semantics)
-  const int gi0 = perm(ii + perm((jj + base) & 255));
-  const int gi1 = perm(ii + i1 + perm((jj + j1 + base) & 255));
-  const int gi2 = perm(ii + 1 + perm((jj + 1 + base) & 255));
-
-  float n = 0.0f;
-  float tt = 0.5f - x0 * x0 - y0 * y0;
-  if (tt > 0.0f) {
-    const float t4 = tt * tt * tt * tt;
-    n += t4 * grad_dot(gi0, x0, y0);
-  }
-  tt = 0.5f - x1 * x1 - y1 * y1;
-  if (tt > 0.0f) {
-    const float t4 = tt * tt * tt * tt;
-    n += t4 * grad_dot(gi1, x1, y1);
-  }
-  tt = 0.5f - x2 * x2 - y2 * y2;
-  if (tt > 0.0f) {
-    const float t4 = tt * tt * tt * tt;
-    n += t4 * grad_dot(gi2, x2, y2);
-  }
-  return 70.0f * n;
+inline float fast_cos(float x) {
+  return fast_sin(static_cast<float>(static_cast<double>(x) + kMPi2));
 }
 
-float fbm2(float x, float y, int octaves, float persistence, float lacunarity,
-           int base) {
+float noise4(float x, float y, float z, float w) {
+  const float s = (x + y + z + w) * kF4;
+  const float fi = std::floor(x + s);
+  const float fj = std::floor(y + s);
+  const float fk = std::floor(z + s);
+  const float fl = std::floor(w + s);
+  const float t = (((fi + fj) + fk) + fl) * kG4;
+
+  const float x0 = x - (fi - t);
+  const float y0 = y - (fj - t);
+  const float z0 = z - (fk - t);
+  const float w0 = w - (fl - t);
+
+  const int c = (x0 > y0 ? 32 : 0) + (x0 > z0 ? 16 : 0) + (y0 > z0 ? 8 : 0) +
+                (x0 > w0 ? 4 : 0) + (y0 > w0 ? 2 : 0) + (z0 > w0 ? 1 : 0);
+  const int* rank = kSimplex[c];
+  int off[5][4];
+  for (int d = 0; d < 4; ++d) {
+    off[0][d] = 0;
+    off[1][d] = rank[d] >= 3 ? 1 : 0;
+    off[2][d] = rank[d] >= 2 ? 1 : 0;
+    off[3][d] = rank[d] >= 1 ? 1 : 0;
+    off[4][d] = 1;
+  }
+
+  const int ii = static_cast<int>(fi) & 255;
+  const int jj = static_cast<int>(fj) & 255;
+  const int kk = static_cast<int>(fk) & 255;
+  const int ll = static_cast<int>(fl) & 255;
+
   float total = 0.0f;
+  for (int m = 0; m < 5; ++m) {
+    const float gm = static_cast<float>(m) * kG4;
+    const float xc = x0 - static_cast<float>(off[m][0]) + gm;
+    const float yc = y0 - static_cast<float>(off[m][1]) + gm;
+    const float zc = z0 - static_cast<float>(off[m][2]) + gm;
+    const float wc = w0 - static_cast<float>(off[m][3]) + gm;
+    const float f = 0.6f - xc * xc - yc * yc - zc * zc - wc * wc;
+    if (f > 0.0f) {
+      const int gi =
+          perm(ii + off[m][0] +
+               perm(jj + off[m][1] +
+                    perm(kk + off[m][2] + perm(ll + off[m][3])))) & 0x1f;
+      const float* g = kGrad4[gi];
+      const float grad = g[0] * xc + g[1] * yc + g[2] * zc + g[3] * wc;
+      const float f2 = f * f;
+      total += f2 * f2 * grad;
+    }
+  }
+  return total * 27.0f;
+}
+
+float fbm_noise4(float x, float y, float z, float w, int octaves,
+                 float persistence, float lacunarity) {
   float freq = 1.0f;
   float amp = 1.0f;
-  float max_amp = 0.0f;
-  for (int k = 0; k < octaves; ++k) {
-    total += snoise2(x * freq, y * freq, base) * amp;
-    max_amp += amp;
+  float maxv = 1.0f;
+  float total = noise4(x, y, z, w);
+  for (int k = 1; k < octaves; ++k) {
     freq *= lacunarity;
     amp *= persistence;
+    maxv += amp;
+    total += noise4(x * freq, y * freq, z * freq, w * freq) * amp;
   }
-  return total / max_amp;
+  return total / maxv;
 }
 
 inline float clip01(float v) {
   return v < 0.0f ? 0.0f : (v > 1.0f ? 1.0f : v);
+}
+
+// One terrain row i: the tiled-path torus embedding (snoise2 with both
+// repeats = 1024) followed by fbm over noise4. `base` is the terrain seed.
+void perlin_row(int i, int n, float scale, int octaves, float persistence,
+                float lacunarity, float amplitude, float base, float* dst) {
+  const float repeat = 1024.0f;
+  const float xr = static_cast<float>(static_cast<double>(repeat) * kM1Pi * 0.5);
+  const float xcoord =
+      static_cast<float>(static_cast<double>(i) / static_cast<double>(scale));
+  const float xf =
+      static_cast<float>(static_cast<double>(xcoord) * 2.0 /
+                         static_cast<double>(repeat));
+  const float xt = fast_sin(xf) * xr;
+  const float zc = base + fast_cos(xf) * xr;
+  for (int j = 0; j < n; ++j) {
+    const float ycoord =
+        static_cast<float>(static_cast<double>(j) / static_cast<double>(scale));
+    const float yf =
+        static_cast<float>(static_cast<double>(ycoord) * 2.0 /
+                           static_cast<double>(repeat));
+    const float yt = fast_sin(yf) * xr;
+    const float wc = base + fast_cos(yf) * xr;
+    const float noise =
+        fbm_noise4(xt, yt, zc, wc, octaves, persistence, lacunarity);
+    // post-map in double like the reference (perlin.py:67-71)
+    const double norm = (static_cast<double>(noise) + 1.0) / 2.0 *
+                        static_cast<double>(amplitude);
+    dst[static_cast<long>(i) * n + j] =
+        clip01(static_cast<float>(norm));
+  }
 }
 
 }  // namespace
@@ -124,17 +206,10 @@ extern "C" {
 void obb_perlin_terrain(int n, float scale, int octaves, float persistence,
                         float lacunarity, float amplitude, int base,
                         float* out) {
-  // grid semantics match generators.generate_perlin_terrain: coord = idx/scale
 #pragma omp parallel for schedule(static)
   for (int i = 0; i < n; ++i) {
-    const float x = static_cast<float>(i) / scale;
-    for (int j = 0; j < n; ++j) {
-      const float y = static_cast<float>(j) / scale;
-      const float noise =
-          fbm2(x, y, octaves, persistence, lacunarity, base);
-      out[static_cast<long>(i) * n + j] =
-          clip01((noise + 1.0f) / 2.0f * amplitude);
-    }
+    perlin_row(i, n, scale, octaves, persistence, lacunarity, amplitude,
+               static_cast<float>(base), out);
   }
 }
 
@@ -143,18 +218,10 @@ void obb_perlin_bank(int count, const int* seeds, int n, float scale,
                      float amplitude, float* out) {
 #pragma omp parallel for schedule(dynamic)
   for (int k = 0; k < count; ++k) {
-    // serial inner generation per terrain; parallelism over the bank
-    const int base = seeds[k];
     float* dst = out + static_cast<long>(k) * n * n;
     for (int i = 0; i < n; ++i) {
-      const float x = static_cast<float>(i) / scale;
-      for (int j = 0; j < n; ++j) {
-        const float y = static_cast<float>(j) / scale;
-        const float noise =
-            fbm2(x, y, octaves, persistence, lacunarity, base);
-        dst[static_cast<long>(i) * n + j] =
-            clip01((noise + 1.0f) / 2.0f * amplitude);
-      }
+      perlin_row(i, n, scale, octaves, persistence, lacunarity, amplitude,
+                 static_cast<float>(seeds[k]), dst);
     }
   }
 }

@@ -35,11 +35,11 @@ def main(config, n_frames: int, out: str, model: str = "", batch: int = 64,
 
     policy_fn = None
     if model:
-        from openballbot_rl_tpu.nn.networks import ActorCritic
+        from openballbot_rl_tpu.nn.networks import build_policy_network
         from openballbot_rl_tpu.utils.checkpoint import load_params_raw
 
         params = load_params_raw(model)
-        net = ActorCritic(use_batchnorm=False)
+        net = build_policy_network(config)
 
         def policy_fn(obs, k):
             mean, _, _ = net.apply(params, obs)

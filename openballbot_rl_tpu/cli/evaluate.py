@@ -46,7 +46,7 @@ def main(model_path: str, eval_config: dict, terrain: str = "",
 
     from openballbot_rl_tpu.envs import make_env_from_config, make_terrain_bank
     from openballbot_rl_tpu.eval.evaluate import evaluate_policy
-    from openballbot_rl_tpu.nn.networks import ActorCritic
+    from openballbot_rl_tpu.nn.networks import build_policy_network
     from openballbot_rl_tpu.utils.checkpoint import load_params_raw
 
     # terrain priority: CLI > eval config > run config next to the model
@@ -88,7 +88,8 @@ def main(model_path: str, eval_config: dict, terrain: str = "",
             print("detected SAC checkpoint")
         net_apply = apply_fn
     else:
-        net_apply = ActorCritic(use_batchnorm=False).apply
+        # built from the run config's policy section (same path as training)
+        net_apply = build_policy_network(config).apply
 
     key = jax.random.PRNGKey(seed)
     k_bank, k_eval = jax.random.split(key)

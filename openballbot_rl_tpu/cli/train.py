@@ -30,13 +30,18 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
          assume_yes: bool = False) -> str:
     import jax
 
-    if config.get("multihost", False):
+    multihost = config.get("multihost", False)
+    if multihost:
         # SPMD across hosts: each process contributes its local devices and
-        # runs the same program; DCN carries dispatch, ICI the collectives
-        jax.distributed.initialize()
+        # runs the same program; DCN carries dispatch, ICI the collectives.
+        # `multihost: true` auto-detects the cluster (TPU pod metadata);
+        # a dict passes coordinator_address/num_processes/process_id
+        # explicitly (used by tests/integration/test_multihost.py to run
+        # 2 CPU processes on localhost).
+        kwargs = dict(multihost) if isinstance(multihost, dict) else {}
+        jax.distributed.initialize(**kwargs)
 
     from openballbot_rl_tpu.envs import make_env_from_config, make_terrain_bank
-    from openballbot_rl_tpu.nn.networks import ActorCritic
     from openballbot_rl_tpu.parallel.mesh import (
         make_mesh, replicate, shard_env_axis)
     from openballbot_rl_tpu.train import PPO, PPOConfig
@@ -92,18 +97,11 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
         )
 
         # policy resolved through the registry (reference policy registration
-        # side effect + create_policy, core/factories.py)
-        pol_cfg = config.get("policy", {}) or {}
-        pol_type = pol_cfg.get("type", "actor_critic")
-        pol_kwargs = dict(pol_cfg.get("config", {}) or {})
-        hidden = tuple(pol_kwargs.pop("hidden_sizes", [128, 128, 128, 128]))
-        if pol_type in ("actor_critic", "mlp"):
-            network = ActorCritic(hidden=hidden, use_batchnorm=False)
-        else:
-            from openballbot_rl_tpu.core.factories import create_policy
+        # side effect + create_policy, core/factories.py) — shared with
+        # every checkpoint consumer so restores always rebuild the same net
+        from openballbot_rl_tpu.nn.networks import build_policy_network
 
-            network = create_policy({"type": pol_type})(**pol_kwargs)
-        algo = PPO(env, cfg, network)
+        algo = PPO(env, cfg, build_policy_network(config))
     else:
         raise ValueError(f"unknown algo type {algo_type!r} (ppo | sac)")
 

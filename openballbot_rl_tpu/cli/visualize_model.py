@@ -19,7 +19,7 @@ def main(model_path: str, config: dict = None, n_episodes: int = 2,
     import yaml
 
     from openballbot_rl_tpu.envs import make_env_from_config, make_terrain_bank
-    from openballbot_rl_tpu.nn.networks import ActorCritic
+    from openballbot_rl_tpu.nn.networks import build_policy_network
     from openballbot_rl_tpu.utils.checkpoint import load_params_raw
     from openballbot_rl_tpu.viz.rollout import visualize_episodes
 
@@ -54,7 +54,7 @@ def main(model_path: str, config: dict = None, n_episodes: int = 2,
             mean, _ = sac_actor.apply(params["actor"], obs)
             return jnp.tanh(mean)
     else:
-        net = ActorCritic(use_batchnorm=False)
+        net = build_policy_network(config)
 
         def policy_fn(obs, k):
             mean, _, _ = net.apply(params, obs)

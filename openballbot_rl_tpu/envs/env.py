@@ -157,10 +157,22 @@ def make_terrain_bank(gen: Callable, n: int, zscale: float, key,
                                "is not built (make -C native)")
 
     if heights is None:
-        def one(seed):
-            return jnp.asarray(gen(n, seed=seed), jnp.float32).reshape(n, n)
+        ttype = getattr(gen, "terrain_type", None)
+        if ttype in ("hills", "mixed"):
+            # concrete per-terrain seeds: hills' MT19937 rejection placement
+            # runs eagerly on host and the traced graph is pure array ops —
+            # no pure_callback, so the bank is generatable ON the TPU device
+            # (the axon relay cannot execute host callbacks)
+            import numpy as np
 
-        heights = jax.vmap(one)(seeds)
+            heights = jnp.stack([
+                jnp.asarray(gen(n, seed=int(s)), jnp.float32).reshape(n, n)
+                for s in np.asarray(seeds)])
+        else:
+            def one(seed):
+                return jnp.asarray(gen(n, seed=seed), jnp.float32).reshape(n, n)
+
+            heights = jax.vmap(one)(seeds)
     offsets = jax.vmap(lambda t: hf.spawn_height_offset(t, zscale))(heights)
     # a fresh random version per generated bank: curriculum regen produces a
     # new generation, and envs holding patches from an older one refresh on

@@ -202,3 +202,25 @@ def gaussian_entropy(log_std):
 
 def sample_action(key, mean, log_std):
     return mean + jnp.exp(log_std) * jax.random.normal(key, mean.shape)
+
+
+def build_policy_network(config):
+    """Resolve the PPO policy network from a (run) config's `policy` section.
+
+    The single construction path shared by cli/train.py and every
+    checkpoint consumer (ballbot-eval / ballbot-visualize-model /
+    ballbot-collect), so a run trained with non-default
+    policy.config.hidden_sizes restores correctly everywhere (round-1
+    advisor finding: evaluate.py hardcoded the 4x128 default and failed to
+    restore such checkpoints). Mirrors the reference's policy_kwargs
+    resolution in ballbot_rl/training/train.py:38-56.
+    """
+    pol_cfg = (config or {}).get("policy", {}) or {}
+    pol_type = pol_cfg.get("type", "actor_critic")
+    pol_kwargs = dict(pol_cfg.get("config", {}) or {})
+    hidden = tuple(pol_kwargs.pop("hidden_sizes", (128, 128, 128, 128)))
+    if pol_type in ("actor_critic", "mlp"):
+        return ActorCritic(hidden=hidden, use_batchnorm=False)
+    from openballbot_rl_tpu.core.factories import create_policy
+
+    return create_policy({"type": pol_type})(**pol_kwargs)

@@ -11,10 +11,11 @@ parameter variants (tests/integration/test_reference_terrain_parity.py),
 including the reference's quirks: stepped's order-dependent in-place
 smoothing sweep (reproduced as a row/column scan recurrence), hills' MT19937
 rejection-sampled placement (reproduced via a host callback), and terraced's
-absolute-vs-relative transition-width unit mismatch. The only exclusion is
-`perlin`: the reference's C `noise` package is unavailable here, so exact
-value parity is gated on a golden table (SURVEY.md §7 risk #3); the JAX
-simplex follows the same Gustavson algorithm and permutation-table scheme.
+absolute-vs-relative transition-width unit mismatch. `perlin` and the
+gradient generator's perlin mode are parity-tested against the vendored
+NumPy oracle of the C `noise` package (tools/vendored_snoise.py) plus a
+committed golden table, since the C extension itself is not installable
+here — see docs/design/parity.md for the provenance caveat.
 """
 from __future__ import annotations
 
@@ -26,7 +27,7 @@ from typing import Any, Dict, List, Optional
 import jax
 import jax.numpy as jnp
 
-from openballbot_rl_tpu.terrain.simplex import fbm2
+from openballbot_rl_tpu.terrain.simplex import snoise2_fbm, snoise2_tiled_fbm
 
 
 def _check_odd(n: int) -> None:
@@ -61,11 +62,16 @@ def _grid_pm1(n: int):
 def generate_perlin_terrain(n: int, scale: float = 25.0, octaves: int = 4,
                             persistence: float = 0.2, lacunarity: float = 2.0,
                             amplitude: float = 1.0, seed=0) -> jnp.ndarray:
+    """The reference's training terrain: snoise2 with repeatx=repeaty=1024
+    and base=seed (perlin.py:50-66) — i.e. the C library's TILED path, fBm
+    over 4D simplex noise on a torus. `seed` may be traced (per-episode
+    draws); the grid coordinates are static and embedded host-side."""
     _check_odd(n)
-    idx = jnp.arange(n, dtype=jnp.float32) / scale
-    X, Y = jnp.meshgrid(idx, idx, indexing="ij")  # x = i/scale, y = j/scale
-    noise = fbm2(X, Y, octaves=octaves, persistence=persistence,
-                 lacunarity=lacunarity, base=jnp.asarray(seed, jnp.int32))
+    idx = np.arange(n, dtype=np.float64) / float(scale)  # x = i/scale
+    X, Y = np.meshgrid(idx, idx, indexing="ij")
+    noise = snoise2_tiled_fbm(X, Y, octaves=octaves, persistence=persistence,
+                              lacunarity=lacunarity, repeatx=1024.0,
+                              repeaty=1024.0, base=seed)
     terrain = jnp.clip((noise + 1.0) / 2.0 * amplitude, 0.0, 1.0)
     return terrain.reshape(-1)
 
@@ -210,9 +216,13 @@ def generate_hills_terrain(n: int, num_hills: int = 5, hill_height: float = 0.7,
     _check_odd(n)
     assert num_hills > 0 and 0 <= hill_height <= 1.0 and 0 < hill_radius <= 0.5
     # Hill placement mirrors the reference's MT19937 rejection loop
-    # (hills.py:43-71, np.random.RandomState(seed).uniform pairs) via a host
-    # callback for exact value parity — bank generation is host-cadence, not
-    # the training hot path, so the callback costs nothing that matters.
+    # (hills.py:43-71, np.random.RandomState(seed).uniform pairs). With a
+    # CONCRETE seed (the bank path — make_terrain_bank feeds hills/mixed
+    # concrete per-bank seeds precisely so this branch is taken) the loop
+    # runs eagerly on host and the traced graph sees only array constants,
+    # so the generator is fully TPU-device-checkable. Only a traced seed
+    # (e.g. a user vmapping over seeds directly) falls back to the host
+    # callback, which the axon relay cannot execute (docs/design/parity.md).
     def _positions_host(seed_val):
         rng = np.random.RandomState(int(np.asarray(seed_val)))
         min_distance = hill_radius * 2.0
@@ -230,12 +240,15 @@ def generate_hills_terrain(n: int, num_hills: int = 5, hill_height: float = 0.7,
             out[k] = p
         return out, np.int32(len(pos))
 
-    seed_arr = jnp.asarray(0 if seed is None else seed, jnp.int32)
-    positions, count = jax.pure_callback(
-        _positions_host,
-        (jax.ShapeDtypeStruct((num_hills, 2), jnp.float32),
-         jax.ShapeDtypeStruct((), jnp.int32)),
-        seed_arr, vmap_method="sequential")
+    seed_val = 0 if seed is None else seed
+    if isinstance(seed_val, jax.core.Tracer):
+        positions, count = jax.pure_callback(
+            _positions_host,
+            (jax.ShapeDtypeStruct((num_hills, 2), jnp.float32),
+             jax.ShapeDtypeStruct((), jnp.int32)),
+            jnp.asarray(seed_val, jnp.int32), vmap_method="sequential")
+    else:
+        positions, count = _positions_host(seed_val)
 
     X, Y = _grid01(n)
     sigma = hill_radius / 3.0
@@ -287,10 +300,12 @@ def generate_gradient_terrain(n: int, max_slope: float = 20.0,
         R = jnp.sqrt(X ** 2 + Y ** 2)
         terrain = g * jnp.clip(R / math.sqrt(2.0), 0.0, 1.0)
     else:  # perlin-modulated gradient (gradient.py:69-95)
-        idx = jnp.arange(n, dtype=jnp.float32) / 25.0
-        Xi, Yj = jnp.meshgrid(idx, idx, indexing="ij")
-        noise = fbm2(Xi, Yj, octaves=3, persistence=0.3, lacunarity=2.0,
-                     base=jnp.asarray(0 if seed is None else seed, jnp.int32))
+        # untiled snoise2 path: base is ADDED TO THE COORDINATES per octave
+        idx = np.arange(n, dtype=np.float64) / 25.0
+        Xi, Yj = np.meshgrid(idx, idx, indexing="ij")
+        noise = snoise2_fbm(Xi.astype(np.float32), Yj.astype(np.float32),
+                            octaves=3, persistence=0.3, lacunarity=2.0,
+                            base=0 if seed is None else seed)
         base_grad = ((X if direction == "x" else Y) + 1.0) / 2.0
         terrain = g * (base_grad + noise * smoothness)
     return _minmax_normalize(terrain).reshape(-1)

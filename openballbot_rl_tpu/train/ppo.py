@@ -197,6 +197,7 @@ class PPO:
 
             def mb_body(carry, idx):
                 params, opt_state, cont = carry
+                cont_in = cont    # were we still training entering this mb?
                 batch = jax.tree.map(lambda x: x[idx], dataset)
                 grads, aux = grad_fn(params, batch, cfg.clip_range)
                 # SB3 ordering: the KL check runs BEFORE optimizer.step(),
@@ -213,6 +214,11 @@ class PPO:
 
                 params, opt_state = jax.lax.cond(
                     cont, do, lambda a: a, (params, opt_state))
+                # SB3 records losses/KL for every minibatch it PROCESSES
+                # (including the over-threshold one it breaks on) and none
+                # after the break; mask the aux means the same way so
+                # progress.csv isn't diluted by never-processed minibatches
+                aux["_recorded"] = cont_in.astype(jnp.float32)
                 return (params, opt_state, cont), aux
 
             (params, opt_state, cont), auxes = jax.lax.scan(
@@ -224,7 +230,9 @@ class PPO:
         (params, opt_state, key, cont), auxes = jax.lax.scan(
             epoch_body, (params, opt_state, key, jnp.array(True)), None,
             length=cfg.n_epochs)
-        metrics = jax.tree.map(lambda x: x.mean(), auxes)
+        rec = auxes.pop("_recorded")
+        denom = jnp.maximum(rec.sum(), 1.0)
+        metrics = jax.tree.map(lambda x: (x * rec).sum() / denom, auxes)
         metrics["continue_training"] = cont.astype(jnp.float32)
         return params, opt_state, key, metrics
 

@@ -19,7 +19,11 @@ def save_checkpoint(path: str, runner_state: Any) -> None:
 
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, jax.tree.map(np.asarray, runner_state), force=True)
+    # Leave jax.Array leaves as-is: orbax saves sharded arrays natively
+    # (each process writes its addressable shards). A host np.asarray here
+    # would raise under multihost training, where env-state leaves are not
+    # fully addressable per process (round-1 advisor finding).
+    ckptr.save(path, runner_state, force=True)
 
 
 def restore_checkpoint(path: str, target: Any) -> Any:

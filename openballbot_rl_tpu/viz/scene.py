@@ -19,14 +19,17 @@ import numpy as np
 
 from openballbot_rl_tpu.physics.rotations import quat_to_mat
 
-# object colors (RGB in [0,1])
-_COL_TERRAIN = jnp.array([0.55, 0.47, 0.36])
-_COL_BALL = jnp.array([0.85, 0.45, 0.15])     # basketball
-_COL_TOWER = jnp.array([0.18, 0.8, 0.44])     # ballbot.xml tower rgba
-_COL_WHEEL = jnp.array([0.85, 0.1, 0.1])
-_COL_SKY = jnp.array([0.65, 0.80, 0.95])
-_SUN = np.array([0.35, 0.25, 0.9])
-_SUN = jnp.asarray(_SUN / np.linalg.norm(_SUN), jnp.float32)
+# object colors (RGB in [0,1]) — kept as NUMPY so importing this module
+# never initializes a JAX backend (host-side tools import viz.plots while a
+# TPU job may hold the one-client axon relay); converted to jnp constants at
+# trace time inside render_scene.
+_COL_TERRAIN = np.array([0.55, 0.47, 0.36], np.float32)
+_COL_BALL = np.array([0.85, 0.45, 0.15], np.float32)   # basketball
+_COL_TOWER = np.array([0.18, 0.8, 0.44], np.float32)   # ballbot.xml tower rgba
+_COL_WHEEL = np.array([0.85, 0.1, 0.1], np.float32)
+_COL_SKY = np.array([0.65, 0.80, 0.95], np.float32)
+_SUN_NP = np.array([0.35, 0.25, 0.9], np.float32)
+_SUN = _SUN_NP / np.linalg.norm(_SUN_NP)
 
 
 def _ray_sphere(origin, dirs, center, radius):

@@ -92,3 +92,57 @@ def test_terrain_signatures_match_golden(terrain_golden):
             err_msg=f"terrain '{t}' output changed vs golden")
     assert not missing, f"no golden for terrains: {missing} " \
                         f"(regenerate tools/make_goldens.py)"
+
+
+@pytest.fixture(scope="module")
+def env_golden():
+    return np.load(os.path.join(GOLDEN_DIR, "env_rollouts.npz"))
+
+
+@pytest.mark.parametrize("name,swap", [("cvel_default", False),
+                                       ("cvel_swap", True)])
+def test_env_rollout_matches_golden(env_golden, name, swap):
+    """Pins obs/reward streams for BOTH settings of the cvel_swap compat
+    flag (envs/env.py:72) — the reference-repo-behavior path is golden-
+    tested, not just the paper-correct default."""
+    from openballbot_rl_tpu.core.factories import create_terrain
+    from openballbot_rl_tpu.envs import BallbotEnv, EnvParams, make_terrain_bank
+
+    env = BallbotEnv(EnvParams(max_ep_steps=200, cvel_swap=swap))
+    gen = create_terrain({"type": "perlin", "config": {}})
+    bank = make_terrain_bank(gen, env.model.hfield_n, 2.0,
+                             jax.random.PRNGKey(5), 2)
+    states, obs = jax.jit(env.batch_reset)(
+        bank, jax.random.split(jax.random.PRNGKey(6), 4))
+    acts = jax.random.uniform(jax.random.PRNGKey(7), (100, 4, 3),
+                              minval=-1.0, maxval=1.0)
+    stepf = jax.jit(env.batch_step)
+    rewards, obs_snaps = [], []
+    for i in range(100):
+        states, obs, r, d, _ = stepf(bank, states, acts[i])
+        rewards.append(np.asarray(r))
+        if (i + 1) % 25 == 0:
+            obs_snaps.append(np.concatenate(
+                [np.asarray(obs[k]) for k in sorted(obs)], axis=-1))
+    np.testing.assert_allclose(np.stack(rewards),
+                               env_golden[f"{name}_rewards"], atol=1e-4,
+                               err_msg=f"{name}: reward stream drifted")
+    np.testing.assert_allclose(np.stack(obs_snaps),
+                               env_golden[f"{name}_obs"], atol=2e-3,
+                               err_msg=f"{name}: obs stream drifted")
+
+
+def test_cvel_swap_is_exact_channel_swap(env_golden):
+    """The two flag settings must expose the SAME two vectors on swapped
+    keys (obs['vel'] <-> obs['angular_vel']); everything else identical."""
+    KEYS = sorted(["orientation", "angular_vel", "vel", "motor_state",
+                   "actions"])
+    a = env_golden["cvel_default_obs"]
+    b = env_golden["cvel_swap_obs"]
+    cols = {k: slice(i * 3, (i + 1) * 3) for i, k in enumerate(KEYS)}
+    np.testing.assert_array_equal(a[..., cols["vel"]],
+                                  b[..., cols["angular_vel"]])
+    np.testing.assert_array_equal(a[..., cols["angular_vel"]],
+                                  b[..., cols["vel"]])
+    for k in ("orientation", "motor_state", "actions"):
+        np.testing.assert_array_equal(a[..., cols[k]], b[..., cols[k]])

@@ -30,6 +30,8 @@ def _example_env():
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache"
+    # examples must import the package even when it isn't pip-installed
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return env
 
 

@@ -113,3 +113,53 @@ def test_ball_supports_robot_in_both():
     for _ in range(N_STEPS):
         sim.step(np.zeros(3))
     assert float(sim.data.qpos[2]) > 0.2
+
+
+# ---------------------------------------------------------------------------
+# Quantified parity (round-2, VERDICT #4): tools/physics_parity_study.py
+# bounds asserted here. Measured values (CPU, 2026-08): impulse rel err
+# median 0.062 / p90 0.50 (cross-contact-model: compliant vs soft-constraint
+# — see the study's docstring for why instantaneous qacc is not comparable);
+# closed-loop base-pos divergence 0.012 m @ 125 steps, 0.033 m @ 250 steps;
+# reference PID gains survive 399/25000 steps in the oracle.
+# ---------------------------------------------------------------------------
+
+def _study():
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+    from tools import physics_parity_study
+    return physics_parity_study
+
+
+def test_state_matched_impulse_bounded_on_uneven_terrain():
+    """All contact types active (ball<->perlin hfield + 3 omniwheels),
+    state-matched 20 ms impulse agreement with asserted tolerance."""
+    out = _study().study_state_matched(n_probe=25)
+    assert out["ncon_mean"] >= 4.0          # contacts actually active
+    assert out["impulse_rel_err_median"] < 0.15, out
+    assert out["impulse_rel_err_p90"] < 1.0, out
+
+
+def test_closed_loop_divergence_bounded():
+    """Same initial state + same 250-action trace on perlin terrain: the two
+    simulators' base positions stay within centimeters (the strongest
+    trajectory-level statement two different contact models + integrators
+    permit on an inverted-pendulum plant)."""
+    out = _study().study_closed_loop(n_steps=250)
+    assert out["base_pos_div_125"] < 0.05, out
+    assert out["base_pos_div_250"] < 0.15, out
+    assert out["ball_pos_div_250"] < 0.6, out
+
+
+def test_reference_pid_gains_fail_in_modern_mujoco():
+    """docs/design/parity.md: the reference's PID install check (gains
+    20,15,2, scripts/test_pid.py) balances only on the pinned old MuJoCo
+    commit. Demonstrate in GENUINE modern MuJoCo (patched contact frames)
+    that the gains fall within ~1 s — the deviation is environmental, not
+    an engine bug. (The reference's own Readme pins the commit precisely
+    because newer MuJoCo behaves differently.)"""
+    out = _study().study_reference_pid(n_steps=3000)
+    assert not out["balanced"]
+    assert out["steps_survived"] < 1500   # measured: 399 (~0.8 s)

@@ -4,24 +4,36 @@ Loads the reference's numpy terrain modules standalone (file-level import —
 their package __init__ needs deps this env lacks) and compares my JAX
 generators element-wise across seeds and parameter variations.
 
-Exclusions, documented:
-  * perlin — the reference uses the C `noise` package (snoise2), not
-    installed here; exact parity is unverifiable in this environment and is
-    gated on a golden table (SURVEY.md §7 risk #3). My simplex follows the
-    same Gustavson algorithm with a pure-JAX permutation table.
+`perlin` (and the gradient generator's perlin mode) cannot import the
+reference module directly — it needs the C `noise` package, not installable
+here — so those are tested against tools/vendored_snoise.py (the NumPy
+float32 reimplementation of that C extension's snoise2, both the untiled
+and the tiled/torus-4D paths) plus the committed golden table
+tests/golden/perlin_oracle_table.npz, which also guards the oracle itself
+against drift. Provenance caveat recorded in docs/design/parity.md.
+
+Remaining exclusion, documented:
   * mixed — imports the reference package's factory (unloadable here); the
     composition semantics are covered by unit tests instead.
 """
 import importlib.util
 import os
+import sys
 
 import numpy as np
 import pytest
 
 REF_DIR = "/root/reference/ballbot_gym/terrain"
+REPO_ROOT = os.path.join(os.path.dirname(__file__), "..", "..")
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF_DIR), reason="reference checkout not available")
+
+
+def _oracle():
+    sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
+    import vendored_snoise
+    return vendored_snoise
 
 
 def _ref(name):
@@ -63,3 +75,88 @@ def test_generator_matches_reference(name, params, seed):
     np.testing.assert_allclose(
         mine, want, atol=5e-5,
         err_msg=f"'{name}' {params} seed={seed} diverges from reference")
+
+
+# ---------------------------------------------------------------------------
+# perlin: vs the vendored snoise2 oracle (tools/vendored_snoise.py)
+# ---------------------------------------------------------------------------
+PERLIN_CASES = [
+    {}, {"octaves": 6, "persistence": 0.5}, {"scale": 10.0},
+    {"amplitude": 0.15}, {"lacunarity": 3.0},
+]
+
+
+@pytest.mark.parametrize("params", PERLIN_CASES)
+@pytest.mark.parametrize("seed", [0, 7, 9999])
+def test_perlin_matches_vendored_oracle(params, seed):
+    from openballbot_rl_tpu.core.factories import create_terrain
+
+    want = _oracle().generate_perlin_terrain_oracle(65, seed=seed, **params)
+    mine = np.asarray(create_terrain({"type": "perlin", "config": params})(
+        65, seed=seed), np.float64)
+    np.testing.assert_allclose(
+        mine, want, atol=1e-6,
+        err_msg=f"perlin {params} seed={seed} diverges from snoise2 oracle")
+
+
+def test_gradient_perlin_mode_matches_vendored_oracle():
+    """gradient.py:63-95: untiled snoise2 (octaves 3, persistence 0.3),
+    base added to the coordinates, noise modulating a linear gradient,
+    min-max normalized."""
+    from openballbot_rl_tpu.core.factories import create_terrain
+
+    vs = _oracle()
+    n, seed, smoothness, max_slope = 65, 42, 0.5, 20.0
+    g = np.tan(np.radians(max_slope)) * 2.0
+    center = n // 2
+    xs = (np.arange(n) - center) / center
+    X, _ = np.meshgrid(xs, xs, indexing="ij")
+    idx = np.arange(n, dtype=np.float64) / 25.0
+    Xi, Yj = np.meshgrid(idx, idx, indexing="ij")
+    nv = vs.snoise2(Xi, Yj, octaves=3, persistence=0.3,
+                    base=seed).astype(np.float64)
+    t = g * ((X + 1.0) / 2.0 + nv * smoothness)
+    want = ((t - t.min()) / (t.max() - t.min())).flatten()
+    mine = np.asarray(create_terrain({"type": "gradient", "config": {
+        "gradient_type": "perlin", "smoothness": smoothness,
+        "max_slope": max_slope}})(n, seed=seed), np.float64)
+    np.testing.assert_allclose(mine, want, atol=1e-6)
+
+
+def test_golden_table_pins_oracle_and_generators():
+    """The committed golden table (tools/make_perlin_golden.py) guards both
+    the oracle and the JAX/native generators against drift."""
+    from openballbot_rl_tpu.core.factories import create_terrain
+    from openballbot_rl_tpu.terrain.native import (native_available,
+                                                   perlin_terrain_native)
+
+    path = os.path.join(REPO_ROOT, "tests", "golden",
+                        "perlin_oracle_table.npz")
+    table = np.load(path)
+    vs = _oracle()
+    cases = {
+        "perlin_n65_s0": (65, {"seed": 0}),
+        "perlin_n65_s7": (65, {"seed": 7}),
+        "perlin_n65_s123": (65, {"seed": 123}),
+        "perlin_n65_s9999": (65, {"seed": 9999}),
+        "perlin_n65_s7_oct6": (65, {"seed": 7, "octaves": 6,
+                                    "persistence": 0.5}),
+        "perlin_n65_s7_scale10": (65, {"seed": 7, "scale": 10.0}),
+        "perlin_n65_s7_amp015": (65, {"seed": 7, "amplitude": 0.15}),
+        "perlin_n293_s42": (293, {"seed": 42}),
+    }
+    for key, (n, kw) in cases.items():
+        golden = table[key]
+        # oracle drift guard: regenerating must be bit-identical
+        np.testing.assert_array_equal(
+            vs.generate_perlin_terrain_oracle(n, **kw), golden,
+            err_msg=f"oracle drifted from golden {key}")
+        seed = kw.pop("seed")
+        mine = np.asarray(create_terrain({"type": "perlin", "config": kw})(
+            n, seed=seed), np.float64)
+        np.testing.assert_allclose(mine, golden, atol=1e-6,
+                                   err_msg=f"JAX generator vs golden {key}")
+        if native_available():
+            got = perlin_terrain_native(n, seed=seed, **kw).astype(np.float64)
+            np.testing.assert_allclose(got, golden, atol=1e-6,
+                                       err_msg=f"native vs golden {key}")

@@ -8,7 +8,8 @@ import pytest
 from openballbot_rl_tpu.core.factories import create_terrain
 from openballbot_rl_tpu.envs import BallbotEnv, EnvParams, make_terrain_bank
 from openballbot_rl_tpu.parallel.mesh import (
-    env_sharding, make_mesh, replicate, shard_env_axis)
+    env_sharding, make_mesh, model_parallel_params, replicate,
+    shard_env_axis)
 from openballbot_rl_tpu.train import PPO, PPOConfig
 
 pytestmark = pytest.mark.integration
@@ -99,4 +100,38 @@ def test_sharded_training_matches_single_device(setup):
                                    rtol=2e-5, atol=2e-6)
     assert float(ref_metrics["pg_loss"]) == pytest.approx(
         float(sh_metrics["pg_loss"]), rel=1e-4, abs=1e-6)
+    assert int(ref_metrics["episodes"]) == int(sh_metrics["episodes"])
+
+
+def test_2d_mesh_training_matches_single_device(setup):
+    """A genuine 2-D ('data', 'model') layout: envs shard over 4-way data,
+    dense kernels shard their output dim over 2-way model. The iteration
+    must reproduce single-device parameters (GSPMD inserts the gathers)."""
+    env, bank = setup
+    cfg = PPOConfig(num_envs=16, n_steps=8, batch_size=32, n_epochs=1,
+                    total_timesteps=10_000)
+    algo = PPO(env, cfg)
+    rs = algo.init(bank, jax.random.PRNGKey(5))
+
+    ref, ref_metrics = algo.train_iteration(rs, bank)
+    jax.block_until_ready(ref_metrics["reward_mean"])
+
+    mesh = make_mesh(8, axis_names=("data", "model"), model_size=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    with mesh:
+        params = model_parallel_params(rs.params, mesh)
+        # at least one kernel must actually be model-sharded
+        assert any(len(x.sharding.spec) == 2 and x.sharding.spec[1] == "model"
+                   for x in jax.tree.leaves(params)
+                   if hasattr(x, "sharding") and x.ndim == 2)
+        sh = rs.replace(env_states=shard_env_axis(rs.env_states, mesh),
+                        obs=shard_env_axis(rs.obs, mesh),
+                        params=params,
+                        opt_state=model_parallel_params(rs.opt_state, mesh))
+        sh2, sh_metrics = algo.train_iteration(sh, replicate(bank, mesh))
+        jax.block_until_ready(sh_metrics["reward_mean"])
+
+    for a, b in zip(jax.tree.leaves(ref.params), jax.tree.leaves(sh2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
     assert int(ref_metrics["episodes"]) == int(sh_metrics["episodes"])

@@ -85,8 +85,41 @@ def terrain_golden():
     np.savez(os.path.join(GOLDEN_DIR, "terrain_signatures.npz"), **out)
 
 
+def env_golden():
+    """Env-level rollout goldens pinning BOTH settings of the cvel_swap
+    compat flag (envs/env.py:72 — reference repo behavior vs paper-correct
+    obs mapping), so the untested-compat-path drift risk flagged in round 1
+    is closed."""
+    from openballbot_rl_tpu.core.factories import create_terrain
+    from openballbot_rl_tpu.envs import BallbotEnv, EnvParams, make_terrain_bank
+
+    out = {}
+    gen = create_terrain({"type": "perlin", "config": {}})
+    for name, swap in [("cvel_default", False), ("cvel_swap", True)]:
+        env = BallbotEnv(EnvParams(max_ep_steps=200, cvel_swap=swap))
+        bank = make_terrain_bank(gen, env.model.hfield_n, 2.0,
+                                 jax.random.PRNGKey(5), 2)
+        states, obs = jax.jit(env.batch_reset)(
+            bank, jax.random.split(jax.random.PRNGKey(6), 4))
+        acts = jax.random.uniform(jax.random.PRNGKey(7), (100, 4, 3),
+                                  minval=-1.0, maxval=1.0)
+        stepf = jax.jit(env.batch_step)
+        rewards, obs_snaps = [], []
+        for i in range(100):
+            states, obs, r, d, _ = stepf(bank, states, acts[i])
+            rewards.append(np.asarray(r))
+            if (i + 1) % 25 == 0:
+                obs_snaps.append(np.concatenate(
+                    [np.asarray(obs[k]) for k in sorted(obs)], axis=-1))
+        out[f"{name}_rewards"] = np.stack(rewards)
+        out[f"{name}_obs"] = np.stack(obs_snaps)
+        print(f"env golden '{name}': reward sum {out[f'{name}_rewards'].sum():+.4f}")
+    np.savez(os.path.join(GOLDEN_DIR, "env_rollouts.npz"), **out)
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     physics_golden()
     terrain_golden()
+    env_golden()
     print("goldens written to", GOLDEN_DIR)
