@@ -239,11 +239,13 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
     viz_episodes = int(viz_cfg.get("episodes", 1))
     next_viz = periodic_viz_freq if periodic_viz_freq else None
 
-    def _render_video(tag, gs):
+    def _render_video(tag, gs, params=None):
         from openballbot_rl_tpu.viz.rollout import visualize_episodes
 
+        p = rs.params if params is None else params
+
         def policy_fn(obs, k):
-            return algo.deterministic_action(rs.params, obs)
+            return algo.deterministic_action(p, obs)
 
         out = os.path.join(out_dir, "videos", f"{tag}_{gs}.mp4")
         try:
@@ -253,6 +255,51 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
         except Exception as e:  # noqa: BLE001 — video failure never kills
             print(f"  video render failed ({e})")   # training (callbacks.py:238-275)
             return None
+
+    # Async video-on-best, matching the reference's background recorder
+    # (callbacks.py:94-331: a worker thread + queue so training never stalls
+    # on a render). One daemon worker; a new best while a render is in
+    # flight replaces any queued request (only the LATEST best is recorded,
+    # like the reference's is_recording gate). JAX dispatch is thread-safe;
+    # the render jit shares the device but the ~seconds-long render no
+    # longer blocks the training loop's host thread.
+    _video_q = []
+    _video_lock = None
+    if video_on_best:
+        import threading
+
+        _video_lock = threading.Condition()
+
+        def _video_worker():
+            while True:
+                with _video_lock:
+                    while not _video_q:
+                        _video_lock.wait()
+                    item = _video_q.pop()          # latest request wins
+                    if item[0] is None and _video_q:
+                        # drain sentinel arrived with work still queued:
+                        # do the work first, keep the sentinel for next loop
+                        work = _video_q.pop()
+                        _video_q.clear()
+                        _video_q.append(item)
+                        item = work
+                    else:
+                        _video_q.clear()           # drop superseded requests
+                tag, gs, params = item
+                if tag is None:
+                    return
+                v = _render_video(tag, gs, params)
+                if v and verbose:
+                    print(f"  video -> {v}")
+
+        _video_thread = threading.Thread(target=_video_worker, daemon=True,
+                                         name="video-on-best")
+        _video_thread.start()
+
+    def _submit_video(tag, gs):
+        with _video_lock:
+            _video_q.append((tag, gs, rs.params))
+            _video_lock.notify()
 
     csvlog = CSVLogger(os.path.join(out_dir, "progress.csv"))
     evallog = EvalLog(os.path.join(out_dir, "results"))
@@ -399,9 +446,7 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
                 if verbose:
                     print(f"  new best eval {best_eval:.2f} @ {gs} -> best_model")
                 if video_on_best:
-                    v = _render_video("best", gs)
-                    if v and verbose:
-                        print(f"  video -> {v}")
+                    _submit_video("best", gs)   # async, never stalls the loop
 
         if next_viz is not None and gs >= next_viz:
             next_viz = gs + periodic_viz_freq
@@ -430,6 +475,14 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
 
     if profiling:   # run ended before the trace window closed
         jax.profiler.stop_trace()
+
+    if video_on_best:
+        # drain: let an in-flight best-video finish (bounded), like the
+        # reference's thread join at training end
+        with _video_lock:
+            _video_q.append((None, 0, None))
+            _video_lock.notify()
+        _video_thread.join(timeout=300)
 
     _save(os.path.join(out_dir, "final_model"), rs)
     return out_dir
