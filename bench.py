@@ -6,9 +6,17 @@ quantity as the reference's SB3 `time/fps` column, which sustains ~203
 steps/s with 10 SubprocVecEnv processes (BASELINE.md). Runs on whatever
 jax.devices() provides (the real TPU chip under the driver).
 
+Also measures the VISION rollout (2x64x64 depth render + frozen-encoder
+features at the reference's 90 Hz camera cadence, B=1024) — the reference's
+`time/fps` was recorded WITH 64x64 cameras on
+(.../2025-12-04_ppo-flat-directional-seed10/progress.csv), so
+`vision_env_steps_per_sec` is the like-for-like comparison and
+`env_steps_per_sec` the blind-engine headline.
+
 Prints exactly one JSON line:
   {"metric": "env_steps_per_sec", "value": N, "unit": "steps/s",
-   "vs_baseline": N/203}
+   "vs_baseline": N/203, "vision_env_steps_per_sec": M,
+   "vision_vs_baseline": M/203}
 """
 from __future__ import annotations
 
@@ -113,13 +121,89 @@ def main() -> int:
     sys.stderr.write(
         f"[bench] device={jax.devices()[0]} B={B} T={T} compile={compile_s:.1f}s "
         f"iter={dt*1e3:.1f}ms reward_mean={float(rmean):+.4f} dones={int(dsum)}\n")
-    print(json.dumps({
+
+    vision_steps_per_sec = _bench_vision(jax, jnp, bank)
+
+    result = {
         "metric": "env_steps_per_sec",
         "value": round(steps_per_sec),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / 203.0, 1),
-    }))
+    }
+    if vision_steps_per_sec is not None:
+        result["vision_env_steps_per_sec"] = round(vision_steps_per_sec)
+        result["vision_vs_baseline"] = round(vision_steps_per_sec / 203.0, 1)
+    print(json.dumps(result))
     return 0
+
+
+def _bench_vision(jax, jnp, bank):
+    """Policy-in-the-loop vision rollout: depth render at the 90 Hz camera
+    cadence + frozen encoder + policy on the R^56 obs. Returns steps/s, or
+    None if the committed encoder checkpoint is unavailable."""
+    import sys
+    import time
+
+    from openballbot_rl_tpu.envs import make_env_from_config
+    from openballbot_rl_tpu.nn.networks import ActorCritic, sample_action
+
+    B = int(os.environ.get("BENCH_VISION_ENVS", "1024"))
+    T = int(os.environ.get("BENCH_VISION_STEPS", "100"))
+    REPS = int(os.environ.get("BENCH_REPS", "5"))
+    enc = os.environ.get("BENCH_ENCODER", "outputs/encoders/encoder_r2")
+    if not os.path.exists(enc + ".json"):
+        sys.stderr.write(f"[bench] no encoder at {enc}; skipping vision\n")
+        return None
+
+    cfg = {
+        "problem": {
+            "terrain": {"type": "perlin", "config": {
+                "scale": 25.0, "octaves": 4, "persistence": 0.2,
+                "lacunarity": 2.0}},
+            "reward": {"type": "directional",
+                       "config": {"target_direction": [0.0, 1.0]}},
+        },
+        "camera": {"enabled": True, "height": 64, "width": 64,
+                   "frame_rate": 90, "disable_rgb": True},
+        "frozen_cnn": enc,
+    }
+    env, _ = make_env_from_config(cfg)
+
+    net = ActorCritic(use_batchnorm=False)
+    keys = jax.random.split(jax.random.PRNGKey(11), B)
+    states, obs = jax.jit(env.batch_reset)(bank, keys)
+    params = net.init(jax.random.PRNGKey(12),
+                      jax.tree.map(lambda x: x[0], obs))
+
+    @jax.jit
+    def rollout(params, states, obs, key):
+        def f(carry, _):
+            states, obs, key = carry
+            key, k = jax.random.split(key)
+            mean, log_std, _ = net.apply(params, obs)
+            actions = jnp.clip(sample_action(k, mean, log_std), -1, 1)
+            states, obs, reward, done, _ = env.batch_step(bank, states, actions)
+            return (states, obs, key), (reward.mean(), done.sum())
+        (states, obs, key), (rew, dones) = jax.lax.scan(
+            f, (states, obs, key), None, length=T)
+        return states, obs, rew.mean(), dones.sum()
+
+    key = jax.random.PRNGKey(13)
+    t0 = time.time()
+    states, obs, rmean, dsum = rollout(params, states, obs, key)
+    jax.block_until_ready(rmean)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(REPS):
+        states, obs, rmean, dsum = rollout(params, states, obs, key)
+    jax.block_until_ready(rmean)
+    dt = (time.time() - t0) / REPS
+
+    sys.stderr.write(
+        f"[bench] vision B={B} T={T} compile={compile_s:.1f}s "
+        f"iter={dt*1e3:.1f}ms reward_mean={float(rmean):+.4f}\n")
+    return B * T / dt
 
 
 if __name__ == "__main__":

@@ -24,7 +24,7 @@ def main(model_path: str = "", config=None, terrain: str = "",
          port: int = 8765, fps: float = 30.0, height: int = 240,
          width: int = 320, episodes: int = 0, ansi: bool = False,
          seed: int = 0, verbose: bool = True,
-         max_seconds: float = 0.0) -> int:
+         max_seconds: float = 0.0, host: str = "127.0.0.1") -> int:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -116,7 +116,7 @@ def main(model_path: str = "", config=None, terrain: str = "",
 
     viewer = None
     if not ansi:
-        viewer = LiveViewer(port=port)
+        viewer = LiveViewer(host=host, port=port)
         if verbose:
             print(f"live view: http://localhost:{viewer.port}  (Ctrl-C stops)")
 
@@ -167,6 +167,9 @@ def cli_main(argv=None) -> int:
     p.add_argument("--config", default="", help="config yaml (default: next to model)")
     p.add_argument("--terrain", default="", help="terrain type override")
     p.add_argument("--port", type=int, default=8765)
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address (use 0.0.0.0 to expose the stream "
+                        "on all interfaces — it is unauthenticated)")
     p.add_argument("--fps", type=float, default=30.0)
     p.add_argument("--height", type=int, default=240)
     p.add_argument("--width", type=int, default=320)
@@ -189,7 +192,7 @@ def cli_main(argv=None) -> int:
                 config = yaml.safe_load(f)
     return main(args.model, config, args.terrain, args.port, args.fps,
                 args.height, args.width, args.episodes, args.ansi,
-                args.seed, max_seconds=args.max_seconds)
+                args.seed, max_seconds=args.max_seconds, host=args.host)
 
 
 if __name__ == "__main__":

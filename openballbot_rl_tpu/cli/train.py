@@ -41,6 +41,27 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
         kwargs = dict(multihost) if isinstance(multihost, dict) else {}
         jax.distributed.initialize(**kwargs)
 
+    # Multihost runs share ONE run directory on a shared filesystem: orbax
+    # checkpoint saves are collective (the primary creates the tree, every
+    # process writes its addressable shards into the SAME path — per-process
+    # paths deadlock the save), while host-side artifacts (csv, eval npz,
+    # videos, config) are written by the primary only.
+    is_primary = (not multihost) or jax.process_index() == 0
+
+    def _host_barrier(name: str, timeout_ms: int = 600_000) -> None:
+        """Align all processes at a named coordination-service barrier.
+
+        The CPU cross-process collectives rendezvous over gloo, whose store
+        wait times out after ~30 s — less than the cross-process skew a cold
+        XLA compile can produce. The coordination service barrier has an
+        explicit (generous) timeout, so compile skew is absorbed here instead
+        of DEADLINE_EXCEEDED-ing the first collective of a freshly compiled
+        program."""
+        from jax._src import distributed
+        client = distributed.global_state.client
+        if client is not None:
+            client.wait_at_barrier(name, timeout_ms)
+
     from openballbot_rl_tpu.envs import make_env_from_config, make_terrain_bank
     from openballbot_rl_tpu.parallel.mesh import (
         make_mesh, replicate, shard_env_axis)
@@ -160,18 +181,19 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
         out_dir = os.path.join("outputs", "experiments", "runs",
                                f"{stamp}_ppo_seed{seed}")
     from openballbot_rl_tpu.train.interactive import confirm
-    if os.path.exists(os.path.join(out_dir, "progress.csv")):
-        # overwrite guard (reference train.py:272-281)
-        if not confirm(f"run dir {out_dir} already has results; overwrite?",
-                       assume_yes=assume_yes):
-            raise SystemExit("aborted")
-    os.makedirs(out_dir, exist_ok=True)
-    os.makedirs(os.path.join(out_dir, "results"), exist_ok=True)
-    with open(os.path.join(out_dir, "config.yaml"), "w") as f:
-        yaml.safe_dump(config, f)
-    with open(os.path.join(out_dir, "info.txt"), "w") as f:
-        f.write(f"seed: {seed}\nppo: {dataclasses.asdict(cfg)}\n"
-                f"devices: {jax.devices()}\nstarted: {datetime.now()}\n")
+    if is_primary:
+        if os.path.exists(os.path.join(out_dir, "progress.csv")):
+            # overwrite guard (reference train.py:272-281)
+            if not confirm(f"run dir {out_dir} already has results; "
+                           "overwrite?", assume_yes=assume_yes):
+                raise SystemExit("aborted")
+        os.makedirs(out_dir, exist_ok=True)
+        os.makedirs(os.path.join(out_dir, "results"), exist_ok=True)
+        with open(os.path.join(out_dir, "config.yaml"), "w") as f:
+            yaml.safe_dump(config, f)
+        with open(os.path.join(out_dir, "info.txt"), "w") as f:
+            f.write(f"seed: {seed}\nppo: {dataclasses.asdict(cfg)}\n"
+                    f"devices: {jax.devices()}\nstarted: {datetime.now()}\n")
 
     # trainer state that lives outside the jitted RunnerState (adaptive
     # curriculum difficulty) rides in a sidecar next to each checkpoint so
@@ -234,8 +256,9 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
     # + periodic viz; synchronous here — a full episode renders in one jit
     # call, so no background thread is needed)
     viz_cfg = config.get("visualization", {}) or {}
-    video_on_best = bool(viz_cfg.get("video_on_best", False))
-    periodic_viz_freq = int(viz_cfg.get("periodic_freq", 0))
+    video_on_best = bool(viz_cfg.get("video_on_best", False)) and is_primary
+    periodic_viz_freq = (int(viz_cfg.get("periodic_freq", 0))
+                         if is_primary else 0)
     viz_episodes = int(viz_cfg.get("episodes", 1))
     next_viz = periodic_viz_freq if periodic_viz_freq else None
 
@@ -248,10 +271,17 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
             return algo.deterministic_action(p, obs)
 
         out = os.path.join(out_dir, "videos", f"{tag}_{gs}.mp4")
+        # encode to a temp name, rename on completion: a partial file from a
+        # killed worker is then detectable (never a truncated .mp4)
+        tmp = out + ".part.mp4"
         try:
-            return visualize_episodes(
+            v = visualize_episodes(
                 env, bank, policy_fn, jax.random.PRNGKey(gs), viz_episodes,
-                env.params.max_ep_steps, out, verbose=False)
+                env.params.max_ep_steps, tmp, verbose=False)
+            if v:
+                os.replace(tmp, out)
+                return out
+            return None
         except Exception as e:  # noqa: BLE001 — video failure never kills
             print(f"  video render failed ({e})")   # training (callbacks.py:238-275)
             return None
@@ -301,8 +331,14 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
             _video_q.append((tag, gs, rs.params))
             _video_lock.notify()
 
-    csvlog = CSVLogger(os.path.join(out_dir, "progress.csv"))
-    evallog = EvalLog(os.path.join(out_dir, "results"))
+    if is_primary:
+        csvlog = CSVLogger(os.path.join(out_dir, "progress.csv"))
+        evallog = EvalLog(os.path.join(out_dir, "results"))
+    else:
+        class _NullLog:
+            def __getattr__(self, _name):
+                return lambda *a, **k: None
+        csvlog = evallog = _NullLog()
     if resume:
         # resuming into a dir with history: drop rows recorded past the
         # checkpoint's step, and don't demote the best model already saved
@@ -316,7 +352,19 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
     best_eval = evallog.best_mean()
     next_eval = 0
     next_ckpt = 0
+    if multihost and jax.process_count() > 1:
+        # AOT-compile the two big programs, then align processes, so the
+        # first gloo rendezvous happens with ZERO compile skew (cold-cache
+        # robustness of tests/integration/test_multihost.py — gloo's ~30 s
+        # store timeout is far below worst-case cross-process compile skew)
+        type(algo).train_iteration.lower(algo, rs, bank).compile()
+        type(algo).evaluate.lower(
+            algo, rs.params, eval_bank, n_eval_episodes,
+            env.params.max_ep_steps, jax.random.PRNGKey(0)).compile()
+        _host_barrier("programs_compiled")
+
     iteration = 0
+    last_row = {}
     last_ep_rew = float("nan")
     last_ep_len = float("nan")
 
@@ -466,6 +514,7 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
                 print(f"  device trace (iters 2-4) -> {profile_dir}")
 
         csvlog.log(row)
+        last_row = row
         if verbose:
             extra = f" {cur_param} {cur_value:.3f}" if cur_param else ""
             print(f"iter {iteration} step {gs} fps {row['time/fps']} "
@@ -483,8 +532,23 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
             _video_q.append((None, 0, None))
             _video_lock.notify()
         _video_thread.join(timeout=300)
+        if _video_thread.is_alive():
+            print("  warning: video worker still encoding after 300 s "
+                  "drain; an unfinished *.part.mp4 may remain in videos/")
 
     _save(os.path.join(out_dir, "final_model"), rs)
+    if multihost and jax.process_count() > 1:
+        # each process records ITS OWN view of the final replicated metrics
+        # (SPMD invariant: these must be identical across processes — the
+        # multihost test asserts it; also handy when debugging a real pod)
+        with open(os.path.join(
+                out_dir, f"proc{jax.process_index()}.metrics.json"),
+                "w") as f:
+            json.dump({k: v for k, v in last_row.items()
+                       if isinstance(v, (int, float))}, f)
+        # no process exits (tearing down its gloo endpoints and coordination
+        # session) while a slower peer is still inside the training program
+        _host_barrier("train_end")
     return out_dir
 
 

@@ -162,9 +162,18 @@ def make_terrain_bank(gen: Callable, n: int, zscale: float, key,
             # concrete per-terrain seeds: hills' MT19937 rejection placement
             # runs eagerly on host and the traced graph is pure array ops —
             # no pure_callback, so the bank is generatable ON the TPU device
-            # (the axon relay cannot execute host callbacks)
+            # (the axon relay cannot execute host callbacks). This path is
+            # HOST-ONLY in `seeds`: the MT19937 placement needs concrete
+            # values, so calling make_terrain_bank under jit/vmap with traced
+            # seeds is unsupported for hills/mixed.
             import numpy as np
 
+            if isinstance(seeds, jax.core.Tracer):
+                raise TypeError(
+                    f"make_terrain_bank with terrain type '{ttype}' needs "
+                    "concrete seeds (its MT19937 placement runs on host); "
+                    "call it outside jit, or use a generator without host "
+                    "randomness")
             heights = jnp.stack([
                 jnp.asarray(gen(n, seed=int(s)), jnp.float32).reshape(n, n)
                 for s in np.asarray(seeds)])

@@ -37,7 +37,7 @@ class LiveViewer:
     """Threaded MJPEG server. push() frames from the rollout loop; every
     connected browser sees them at the rate they arrive."""
 
-    def __init__(self, host: str = "0.0.0.0", port: int = 8765,
+    def __init__(self, host: str = "127.0.0.1", port: int = 8765,
                  quality: int = 85):
         self._lock = threading.Condition()
         self._jpeg: Optional[bytes] = None

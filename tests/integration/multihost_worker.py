@@ -48,21 +48,24 @@ def main() -> int:
             "process_id": args.process_id,
         },
     }
+    # NOTE: all processes share ONE run dir (shared filesystem) — orbax
+    # multihost checkpoint saves are collective into the same path
     out_dir = train_main(config, seed=0, out_dir=args.out, verbose=False,
                          assume_yes=True)
 
-    import csv
-
-    with open(os.path.join(out_dir, "progress.csv")) as f:
-        rows = list(csv.DictReader(f))
-    last = rows[-1]
+    # this process's own view of the final replicated metrics (written by
+    # train_main before the end-of-training barrier, so it exists for every
+    # process here)
+    with open(os.path.join(
+            out_dir, f"proc{args.process_id}.metrics.json")) as f:
+        mine = json.load(f)
     print("MULTIHOST_RESULT " + json.dumps({
         "process_id": args.process_id,
-        "iterations": int(last["time/iterations"]),
-        "total_timesteps": int(last["time/total_timesteps"]),
-        "pg_loss": float(last["train/policy_gradient_loss"]),
-        "value_loss": float(last["train/value_loss"]),
-        "approx_kl": float(last["train/approx_kl"]),
+        "iterations": int(mine["time/iterations"]),
+        "total_timesteps": int(mine["time/total_timesteps"]),
+        "pg_loss": float(mine["train/policy_gradient_loss"]),
+        "value_loss": float(mine["train/value_loss"]),
+        "approx_kl": float(mine["train/approx_kl"]),
     }))
     return 0
 

@@ -138,8 +138,11 @@ def test_state_matched_impulse_bounded_on_uneven_terrain():
     state-matched 20 ms impulse agreement with asserted tolerance."""
     out = _study().study_state_matched(n_probe=25)
     assert out["ncon_mean"] >= 4.0          # contacts actually active
-    assert out["impulse_rel_err_median"] < 0.15, out
-    assert out["impulse_rel_err_p90"] < 1.0, out
+    # bounds tightened toward measured values (r2: median 0.062, p90 0.50)
+    # so a physics regression actually trips, with ~60% cross-contact-model
+    # slack retained
+    assert out["impulse_rel_err_median"] < 0.10, out
+    assert out["impulse_rel_err_p90"] < 0.65, out
 
 
 def test_closed_loop_divergence_bounded():

@@ -44,18 +44,22 @@ def test_two_process_training(tmp_path):
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     procs = []
+    # ONE shared run dir for both processes: orbax multihost saves are
+    # collective into the same path (per-process paths deadlock the save —
+    # the non-primary waits forever for its own array_metadatas dir)
+    run_dir = tmp_path / "run"
     for pid in range(2):
         procs.append(subprocess.Popen(
             [sys.executable, WORKER, "--coordinator", coord,
              "--num-processes", "2", "--process-id", str(pid),
-             "--out", str(tmp_path / f"proc{pid}")],
+             "--out", str(run_dir)],
             env=_worker_env(), stdout=subprocess.PIPE,
             stderr=subprocess.PIPE, text=True))
 
     results = {}
     for pid, proc in enumerate(procs):
         try:
-            out, err = proc.communicate(timeout=600)
+            out, err = proc.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -74,8 +78,7 @@ def test_two_process_training(tmp_path):
     # SPMD: replicated metrics must be identical across processes
     for k in ("pg_loss", "value_loss", "approx_kl"):
         assert a[k] == b[k], f"{k} differs across processes: {a[k]} vs {b[k]}"
-    # run artifacts exist in each process's dir
-    for pid in range(2):
-        d = tmp_path / f"proc{pid}"
-        assert (d / "progress.csv").exists()
-        assert (d / "config.yaml").exists()
+    # primary-written run artifacts + the collectively saved final checkpoint
+    assert (run_dir / "progress.csv").exists()
+    assert (run_dir / "config.yaml").exists()
+    assert (run_dir / "final_model").exists()

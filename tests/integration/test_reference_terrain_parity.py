@@ -12,9 +12,9 @@ and the tiled/torus-4D paths) plus the committed golden table
 tests/golden/perlin_oracle_table.npz, which also guards the oracle itself
 against drift. Provenance caveat recorded in docs/design/parity.md.
 
-Remaining exclusion, documented:
-  * mixed — imports the reference package's factory (unloadable here); the
-    composition semantics are covered by unit tests instead.
+`mixed` imports the reference package's factory; a sys.modules stub routes
+that to the same standalone-loaded reference generators (see _ref_mixed), so
+all 13 generators are now reference-parity-tested. No exclusions remain.
 """
 import importlib.util
 import os
@@ -160,3 +160,80 @@ def test_golden_table_pins_oracle_and_generators():
             got = perlin_terrain_native(n, seed=seed, **kw).astype(np.float64)
             np.testing.assert_allclose(got, golden, atol=1e-6,
                                        err_msg=f"native vs golden {key}")
+
+
+# ---------------------------------------------------------------------------
+# mixed: the reference module imports its package factory; satisfy that with
+# a sys.modules stub that routes create_terrain to the SAME standalone-loaded
+# reference generators, so composition semantics (additive/max/weighted
+# blending, weight normalization, seed plumbing, final clip) are pinned
+# element-wise against /root/reference/ballbot_gym/terrain/mixed.py:7-101.
+# ---------------------------------------------------------------------------
+def _ref_mixed():
+    import types
+
+    ref_gens = {t: _ref(t) for t in
+                ("sinusoidal", "bowl", "hills", "ramp", "ridge_valley")}
+
+    def create_terrain(config):
+        fn = ref_gens[config["type"]]
+        cfg = config.get("config", {})
+
+        def configured(n, **override):
+            return fn(n, **{**cfg, **override})
+
+        return configured
+
+    saved = {k: sys.modules.get(k) for k in
+             ("ballbot_gym", "ballbot_gym.core",
+              "ballbot_gym.core.factories")}
+    try:
+        pkg = types.ModuleType("ballbot_gym")
+        core = types.ModuleType("ballbot_gym.core")
+        fac = types.ModuleType("ballbot_gym.core.factories")
+        fac.create_terrain = create_terrain
+        pkg.core = core
+        core.factories = fac
+        sys.modules["ballbot_gym"] = pkg
+        sys.modules["ballbot_gym.core"] = core
+        sys.modules["ballbot_gym.core.factories"] = fac
+        return _ref("mixed")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+MIXED_CASES = [
+    {"components": [
+        {"type": "sinusoidal", "weight": 0.7,
+         "config": {"amplitude": 0.4, "frequency": 0.15}},
+        {"type": "bowl", "weight": 0.3, "config": {"depth": 0.6}}],
+     "blend_mode": "additive"},
+    {"components": [
+        {"type": "ramp", "weight": 1.0, "config": {"ramp_angle": 10.0}},
+        {"type": "ridge_valley", "weight": 0.5, "config": {}}],
+     "blend_mode": "max"},
+    {"components": [
+        {"type": "hills", "weight": 2.0,
+         "config": {"num_hills": 5, "hill_radius": 0.15}},
+        {"type": "sinusoidal", "weight": 1.0, "config": {}}],
+     "blend_mode": "weighted"},
+]
+
+
+@pytest.mark.parametrize("params", MIXED_CASES)
+@pytest.mark.parametrize("seed", [7, 123])
+def test_mixed_matches_reference(params, seed):
+    from openballbot_rl_tpu.core.factories import create_terrain
+
+    ref_fn = _ref_mixed()
+    want = np.asarray(ref_fn(65, seed=seed, **params), np.float64)
+    mine = np.asarray(create_terrain({"type": "mixed", "config": params})(
+        65, seed=seed), np.float64)
+    assert mine.shape == want.shape
+    np.testing.assert_allclose(
+        mine, want, atol=5e-5,
+        err_msg=f"'mixed' {params} seed={seed} diverges from reference")
