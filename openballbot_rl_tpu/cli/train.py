@@ -336,6 +336,9 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
         evallog = EvalLog(os.path.join(out_dir, "results"))
     else:
         class _NullLog:
+            def best_mean(self):           # non-primary tracks best locally
+                return float("-inf")
+
             def __getattr__(self, _name):
                 return lambda *a, **k: None
         csvlog = evallog = _NullLog()

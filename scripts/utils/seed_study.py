@@ -36,10 +36,16 @@ def main(argv=None) -> int:
                    help="comma-separated seed list")
     p.add_argument("--out-root", default="outputs/experiments/seed_studies")
     p.add_argument("--tag", required=True)
+    p.add_argument("--set", action="append", default=[],
+                   help="config override, dotted=value (repeatable), e.g. "
+                        "--set problem.terrain.config.amplitude=0.1")
     args = p.parse_args(argv)
 
     from openballbot_rl_tpu.core.config import load_training_config
     from openballbot_rl_tpu.cli.train import main as train_main
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from sweep import parse_value, set_dotted
 
     seeds = [int(s) for s in args.seeds.split(",") if s.strip()]
     root = os.path.join(args.out_root, args.tag)
@@ -49,6 +55,9 @@ def main(argv=None) -> int:
     finals, bests, wall = [], [], []
     for seed in seeds:
         config = load_training_config(args.config)
+        for ov in args.set:
+            k, _, v = ov.partition("=")
+            set_dotted(config, k, parse_value(v))
         run_dir = os.path.join(root, f"seed{seed}")
         t0 = time.time()
         train_main(config, seed, out_dir=run_dir, verbose=True,

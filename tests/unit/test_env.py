@@ -130,3 +130,25 @@ def test_terrain_bank_seed_semantics():
     assert np.asarray(b1.seeds).min() >= 0 and np.asarray(b1.seeds).max() < 10000
     bf = make_terrain_bank(gen, 61, 2.0, jax.random.PRNGKey(1), 3, fixed_seed=7)
     assert np.all(np.asarray(bf.seeds) == 7)
+
+
+def test_terrain_bank_hills_rejects_traced_seeds():
+    """hills/mixed bank generation is host-only in `seeds` (MT19937
+    placement needs concrete values) — traced seeds must raise the clear
+    TypeError, not an opaque TracerArrayConversionError."""
+    import jax
+    import pytest
+
+    from openballbot_rl_tpu.core.factories import create_terrain
+    from openballbot_rl_tpu.envs import make_terrain_bank
+    from openballbot_rl_tpu.physics import make_model
+
+    gen = create_terrain({"type": "hills", "config": {"num_hills": 2}})
+    n = make_model().hfield_n
+
+    @jax.jit
+    def traced(key):
+        return make_terrain_bank(gen, n, 2.0, key, 2)
+
+    with pytest.raises(TypeError, match="concrete seeds"):
+        traced(jax.random.PRNGKey(0))
