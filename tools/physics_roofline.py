@@ -132,6 +132,48 @@ def main() -> int:
                                  jnp.zeros_like(x), jnp.zeros_like(x))))
     report("physics_flat_plane", timed_rollout(jax, flat, phys0, T))
 
+    # --- physics through the one-hot PATCH sampler (static patch, no
+    # refresh): isolates the cost of the production gather-free tap path ---
+    P = env.params.terrain_patch_size
+    c0 = env._patch_center_origin(heights_n := m.hfield_n)
+    patches = jax.vmap(lambda i: jax.lax.dynamic_slice(
+        bank.heights, (i, c0, c0), (1, P, P))[0])(tidx)
+    pij = jnp.array([c0, c0], jnp.int32)
+
+    @jax.jit
+    def patch_run(p0):
+        def f(p, _):
+            def one(s, patch):
+                sampler = hf.make_patch_sampler(patch, pij, heights_n,
+                                                m.hfield_half_extent, 2.0)
+                return step(m, cp, sampler, 2.0, s, zero_a[0])
+            p = jax.vmap(one)(p, patches)
+            return p, p.base_pos[..., 2].mean()
+        p, z = jax.lax.scan(f, p0, None, length=T)
+        return p.base_pos, z.mean()
+
+    report("physics_patch_sampler", timed_rollout(jax, patch_run, phys0, T))
+
+    # --- full env step with the DIRECT (non-patch) sampler, for an
+    # apples-to-apples env comparison ---
+    env_direct = BallbotEnv(EnvParams(terrain_patch=False))
+    states_d, obs_d = jax.jit(env_direct.batch_reset)(
+        bank, jax.random.split(jax.random.PRNGKey(1), B))
+
+    @jax.jit
+    def full_direct(carry):
+        def f(c, _):
+            st, ob, key = c
+            a = jnp.zeros((B, 3), jnp.float32)
+            st, ob, r, d, _ = env_direct.batch_step(bank, st, a)
+            return (st, ob, key), r.mean()
+        c, r = jax.lax.scan(f, carry, None, length=T)
+        return c[0].phys.base_pos, r.mean()
+
+    report("env_direct_sampler",
+           timed_rollout(jax, full_direct,
+                         (states_d, obs_d, jax.random.PRNGKey(3)), T))
+
     # --- gathers alone: 6 query points x 4 taps, like _sample_planes ---
     heights = bank.heights
     n = heights.shape[-1]
