@@ -92,8 +92,12 @@ def main() -> int:
     states, obs = jax.jit(env.batch_reset)(bank, jax.random.split(jax.random.PRNGKey(1), B))
     params = net.init(jax.random.PRNGKey(2), jax.tree.map(lambda x: x[0], obs))
 
+    # bank is a jit ARGUMENT, not a closure capture: closed-over device
+    # arrays become jaxpr constants serialized into the compile payload,
+    # and the aligned tile bank (~300 MB) blows the axon relay's
+    # remote_compile request limit (HTTP 413)
     @jax.jit
-    def rollout(params, states, obs, key):
+    def rollout(params, bank, states, obs, key):
         def f(carry, _):
             states, obs, key = carry
             key, k = jax.random.split(key)
@@ -107,13 +111,13 @@ def main() -> int:
 
     key = jax.random.PRNGKey(3)
     t0 = time.time()
-    states, obs, rmean, dsum = rollout(params, states, obs, key)
+    states, obs, rmean, dsum = rollout(params, bank, states, obs, key)
     jax.block_until_ready(rmean)
     compile_s = time.time() - t0
 
     t0 = time.time()
     for _ in range(REPS):
-        states, obs, rmean, dsum = rollout(params, states, obs, key)
+        states, obs, rmean, dsum = rollout(params, bank, states, obs, key)
     jax.block_until_ready(rmean)
     dt = (time.time() - t0) / REPS
 
@@ -176,7 +180,7 @@ def _bench_vision(jax, jnp, bank):
                       jax.tree.map(lambda x: x[0], obs))
 
     @jax.jit
-    def rollout(params, states, obs, key):
+    def rollout(params, bank, states, obs, key):
         def f(carry, _):
             states, obs, key = carry
             key, k = jax.random.split(key)
@@ -190,13 +194,13 @@ def _bench_vision(jax, jnp, bank):
 
     key = jax.random.PRNGKey(13)
     t0 = time.time()
-    states, obs, rmean, dsum = rollout(params, states, obs, key)
+    states, obs, rmean, dsum = rollout(params, bank, states, obs, key)
     jax.block_until_ready(rmean)
     compile_s = time.time() - t0
 
     t0 = time.time()
     for _ in range(REPS):
-        states, obs, rmean, dsum = rollout(params, states, obs, key)
+        states, obs, rmean, dsum = rollout(params, bank, states, obs, key)
     jax.block_until_ready(rmean)
     dt = (time.time() - t0) / REPS
 

@@ -36,8 +36,11 @@ def collect_depth_frames(env, bank, key, n_frames: int,
             return jax.random.uniform(k, (batch, 3), minval=-1.0, maxval=1.0)
         return policy_fn(obs, k)
 
+    # bank as a jit argument (not a closure capture): the aligned tile bank
+    # is large, and closed-over arrays ride inside the compile payload —
+    # the axon relay's remote_compile rejects oversized requests (HTTP 413)
     @jax.jit
-    def advance(states, obs, key):
+    def advance(bank, states, obs, key):
         """fs steps; the env's lockstep cadence renders on the last one."""
         def f(carry, _):
             states, obs, key = carry
@@ -53,7 +56,7 @@ def collect_depth_frames(env, bank, key, n_frames: int,
     out = []
     have = 0
     while have < n_frames:
-        states, obs, key, frames = advance(states, obs, key)
+        states, obs, key, frames = advance(bank, states, obs, key)
         f = np.asarray(frames)
         out.append(f)
         have += f.shape[0]

@@ -72,11 +72,17 @@ class EnvParams:
     cvel_swap: bool = False             # reproduce repo cvel bug (see module doc)
     physics_substeps: int = 1           # physics steps per env step (1 = 500 Hz ctrl)
     zscale: float = 2.0                 # hfield vertical scale (ballbot.xml:23)
-    # Per-env cached terrain patch (gather-free sampling; bit-exact vs the
+    # Per-env local terrain patch (gather-free sampling; bit-exact vs the
     # bank sampler while queries stay inside the patch — hfield.
-    # make_patch_sampler). 32 cells = 1.1 m; refreshing every 16 steps
-    # tolerates >5 m/s of drift against the ~0.5 m in-patch margin.
+    # make_patch_sampler). With terrain_tiles (default) the patch is the
+    # pre-sliced aligned tile nearest the robot, re-selected STATELESSLY
+    # every step by one embedding-style row gather (hfield.make_tiles /
+    # tile_select) — no refresh cadence, no cached patch state. When the
+    # bank carries no tiles (or terrain_tiles=False), the legacy round-2
+    # cadence-refresh cache below applies: 32 cells = 1.1 m; refreshing
+    # every 16 steps tolerates >5 m/s of drift against the ~0.5 m margin.
     terrain_patch: bool = True
+    terrain_tiles: bool = True
     terrain_patch_size: int = 32
     terrain_patch_refresh: int = 16
 
@@ -110,11 +116,15 @@ class TerrainBank:
     seeds: jnp.ndarray             # (K,) int32 (for logging/repro)
     version: jnp.ndarray = dataclasses.field(
         default_factory=lambda: jnp.zeros((), jnp.int32))
+    # aligned P x P tiles, flat (K*T*T, P*P) — the stateless patch supply
+    # (hfield.make_tiles). None = legacy cadence-refresh patch path.
+    tiles: Optional[jnp.ndarray] = None
 
 
 def make_terrain_bank(gen: Callable, n: int, zscale: float, key,
                       bank_size: int, fixed_seed: Optional[int] = None,
-                      use_native: Optional[bool] = None) -> TerrainBank:
+                      use_native: Optional[bool] = None,
+                      build_tiles: bool = True) -> TerrainBank:
     """Generate a bank of terrains with per-episode seed semantics.
 
     gen: a configured terrain closure (core.factories.create_terrain output).
@@ -188,8 +198,9 @@ def make_terrain_bank(gen: Callable, n: int, zscale: float, key,
     # their next step (exactly matching the direct-sampler semantics)
     version = jax.random.randint(jax.random.fold_in(key, 0x5eed),
                                  (), 0, jnp.iinfo(jnp.int32).max)
+    tiles = hf.make_tiles(heights) if build_tiles else None
     return TerrainBank(heights=heights, spawn_offsets=offsets, seeds=seeds,
-                       version=version)
+                       version=version, tiles=tiles)
 
 
 class BallbotEnv:
@@ -246,7 +257,20 @@ class BallbotEnv:
             "actions": last_action,
         }
 
-    # ---------- terrain patch cache ----------
+    # ---------- terrain patch supply ----------
+    def _tiles_mode(self, bank: TerrainBank) -> bool:
+        """True when sampling runs off the bank's aligned tiles (static
+        decision: `bank.tiles is None` is a pytree-structure property)."""
+        return (self.params.terrain_patch and self.params.terrain_tiles
+                and bank.tiles is not None)
+
+    def _tiles_per_dim(self, bank: TerrainBank) -> int:
+        T = hf.tiles_per_dim(bank.heights.shape[-1])
+        K = bank.heights.shape[0]
+        assert bank.tiles.shape[0] == K * T * T, (
+            f"tile bank layout mismatch: {bank.tiles.shape} vs K={K}, T={T}")
+        return T
+
     def _patch_center_origin(self, n: int) -> int:
         """Slice origin of a patch centered on the spawn point (world 0, 0) —
         identical to what extract_patch computes there."""
@@ -286,9 +310,11 @@ class BallbotEnv:
         k_terr, k_state = jax.random.split(key)
         idx = jax.random.randint(k_terr, (), 0, bank.heights.shape[0])
         phys = init_state(self.model, bank.spawn_offsets[idx])
-        if self.params.terrain_patch:
+        if self.params.terrain_patch and not self._tiles_mode(bank):
             patch, patch_ij = self._spawn_patch(bank, idx, center_patches)
         else:
+            # direct or tiles mode: no cached patch state (tiles re-select
+            # statelessly from base_pos every step)
             patch = jnp.zeros((1, 1), bank.heights.dtype)
             patch_ij = jnp.zeros((2,), jnp.int32)
         state = EnvState(
@@ -314,7 +340,24 @@ class BallbotEnv:
         m = self.model
         n = bank.heights.shape[-1]
         tick = state.tick + 1
-        if p.terrain_patch:
+        if self._tiles_mode(bank):
+            # stateless aligned-tile patch (round 3): select the tile
+            # nearest the robot by index arithmetic and fetch it with one
+            # embedding-style row gather — no cached patch, no refresh
+            # cadence, no bank-version tracking (a curriculum bank swap
+            # replaces `tiles` wholesale, so every env is consistent on
+            # the very step it happens)
+            P = hf.TILE_SIZE
+            T = self._tiles_per_dim(bank)
+            flat, patch_ij = hf.tile_select(
+                state.terrain_idx, state.phys.base_pos[0],
+                state.phys.base_pos[1], n, m.hfield_half_extent, T)
+            patch = jnp.take(bank.tiles, flat, axis=0).reshape(P, P)
+            terrain = hf.make_patch_sampler(patch, patch_ij, n,
+                                            m.hfield_half_extent, p.zscale)
+            patch, patch_ij = state.patch, state.patch_ij   # dummies carried
+            bank_version = bank.version
+        elif p.terrain_patch:
             # gather-free sampling from the per-env cached patch; the slice
             # refresh runs on a lockstep cadence (batch_step passes a SCALAR
             # do_refresh so this stays a real lax.cond, not a select)
@@ -408,7 +451,7 @@ class BallbotEnv:
             bank_version=bank_version,
         )
         center_patches = None
-        if p.terrain_patch:
+        if p.terrain_patch and not self._tiles_mode(bank):
             # center slices of the whole bank via ONE static contiguous
             # slice (respawn is always at world (0, 0)); the reset branch
             # then selects by one-hot matmul — no per-env gather
@@ -435,7 +478,7 @@ class BallbotEnv:
         # extracting it BEFORE vmap keeps do_refresh a scalar, so the slice
         # refresh stays a real lax.cond (1-in-refresh cost), not a select
         do_refresh = None
-        if self.params.terrain_patch:
+        if self.params.terrain_patch and not self._tiles_mode(bank):
             # bank_version is uniform across the batch (everyone refreshes
             # on the same scalar cadence), so env 0 speaks for all
             do_refresh = jnp.logical_or(

@@ -197,7 +197,7 @@ class VisionBallbotEnv:
         # (1-in-cadence cost), not per-env selects
         do_render = (states.tick[0] + 1) % self.vp.frame_skip == 0
         do_refresh = None
-        if self.env.params.terrain_patch:
+        if self.env.params.terrain_patch and not self.env._tiles_mode(bank):
             do_refresh = jnp.logical_or(
                 (states.core.tick[0] + 1)
                 % self.env.params.terrain_patch_refresh == 0,

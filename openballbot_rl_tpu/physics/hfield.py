@@ -70,6 +70,66 @@ def make_sampler(heights: jnp.ndarray, idx, half_extent: float, zscale):
     return sampler
 
 
+# ---------- aligned terrain tiles (stateless patch supply) ----------
+#
+# The round-2 patch cache refreshed per-env patches with a vmapped
+# dynamic_slice; XLA lowers that to a SERIAL per-env loop on TPU (65.7 ms
+# per refresh at B=32768 — tools/bench_tap_variants.py). Aligned tiles fix
+# the supply side: every terrain is pre-sliced into overlapping P x P tiles
+# on an S-cell grid at bank build, stored flat as (K*T*T, P*P), and each
+# env fetches the tile nearest its robot with ONE embedding-style row
+# gather per step (1.24 ms for all 32768 envs on v5e). Selection is pure
+# index arithmetic from base_pos — no cached patch state, no refresh
+# cadence, no bank-version tracking.
+#
+# Margin: the robot sits within S/2 cells of its tile center, queries
+# (ball + body spheres + bilinear corner) within ~8 cells of the robot, so
+# S=8, P=32 leaves >=4 spare cells; values are bit-identical to the direct
+# sampler wherever queries are in-tile (same cells of the same grid).
+
+TILE_SIZE = 32
+TILE_STRIDE = 8
+
+
+def tiles_per_dim(n: int) -> int:
+    """Tile count per axis: stride-S origins covering [0, n-P] inclusive,
+    rounded up (the last tile may extend into edge padding that clamped
+    queries can never address)."""
+    P, S = TILE_SIZE, TILE_STRIDE
+    return -(-(n - P) // S) + 1
+
+
+def make_tiles(heights: jnp.ndarray) -> jnp.ndarray:
+    """Pre-slice a (K, n, n) bank into aligned tiles, flat (K*T*T, P*P).
+
+    Flat layout: tile (k, a, b) lives at row (k*T + a)*T + b, covering
+    grid rows [a*S, a*S+P) and cols [b*S, b*S+P). Pure array ops (static
+    slices), so it runs wherever the bank is generated, device included.
+    """
+    P, S = TILE_SIZE, TILE_STRIDE
+    K, n = heights.shape[0], heights.shape[-1]
+    T = tiles_per_dim(n)
+    n_pad = S * (T - 1) + P
+    h = jnp.pad(heights, ((0, 0), (0, n_pad - n), (0, n_pad - n)),
+                mode="edge")
+    bands = jnp.stack([h[:, a * S:a * S + P, :] for a in range(T)], 1)
+    tiles = jnp.stack([bands[..., b * S:b * S + P] for b in range(T)], 2)
+    return tiles.reshape(K * T * T, P * P)
+
+
+def tile_select(terrain_idx, x, y, n: int, half_extent: float, T: int):
+    """Flat tile row + grid origin for the tile nearest world (x, y).
+
+    terrain_idx/x/y may be traced scalars (vmapped per env); n, T static.
+    """
+    P, S = TILE_SIZE, TILE_STRIDE
+    gx, gy = world_to_grid(x, y, n, half_extent)
+    a = jnp.clip(jnp.round((gy - (P - 1) / 2) / S).astype(jnp.int32), 0, T - 1)
+    b = jnp.clip(jnp.round((gx - (P - 1) / 2) / S).astype(jnp.int32), 0, T - 1)
+    flat = (terrain_idx * T + a) * T + b
+    return flat, jnp.stack([a * S, b * S]).astype(jnp.int32)
+
+
 def extract_patch(heights: jnp.ndarray, idx, x, y, n: int,
                   half_extent: float, patch_n: int):
     """Slice a (patch_n, patch_n) window of `heights[idx]` centered on world
@@ -101,9 +161,18 @@ def make_patch_sampler(patch: jnp.ndarray, patch_ij: jnp.ndarray,
     Queries outside the patch clamp to its border rows/cols.
 
     Why it exists: make_sampler's per-tap scalar gathers run at ~78M taps/s
-    on TPU; the engine's 6 query points x 4 taps at B=32768 made terrain
-    sampling ~70%% of the whole physics step. One-hot einsums over a
-    (P, P) patch are dense VPU/MXU work instead.
+    on TPU (no per-lane gather hardware); the engine's 6 query points x 4
+    taps at B=32768 made terrain sampling ~70%% of the whole physics step.
+    Each tap here is instead a dense masked 2-D reduction whose mask is an
+    inline iota comparison: XLA fuses mask construction + select + reduce
+    into one VPU pass over the patch, so nothing index-shaped ever touches
+    HBM. Exactness does not depend on dot precision — exactly one element
+    of the mask is nonzero, `where` passes the selected f32 through
+    untouched, and adding zeros is exact in any accumulation order — which
+    is why this beats the earlier one-hot-matmul formulation (that needed
+    Precision.HIGHEST to avoid bf16 truncation and paid 5.5x for it:
+    tools/bench_tap_variants.py, 0.81 ms vs 4.45 ms per batched step at
+    B=32768 on v5e).
     """
     P = patch.shape[-1]
     ci = patch_ij[0].astype(jnp.float32)
@@ -111,31 +180,14 @@ def make_patch_sampler(patch: jnp.ndarray, patch_ij: jnp.ndarray,
     cols = jnp.arange(P, dtype=jnp.int32)
 
     def tap4(i0, i1, j0, j1):
-        import jax
+        def corner(ii, jj):
+            mi = ii[..., None] == cols                    # (..., P)
+            mj = jj[..., None] == cols
+            m = mi[..., :, None] & mj[..., None, :]       # (..., P, P)
+            return jnp.sum(jnp.where(m, patch, 0.0), axis=(-2, -1))
 
-        shape = i0.shape
-        i0 = i0.reshape(-1)
-        i1 = i1.reshape(-1)
-        j0 = j0.reshape(-1)
-        j1 = j1.reshape(-1)
-        oi0 = (i0[:, None] == cols[None, :]).astype(patch.dtype)
-        oi1 = (i1[:, None] == cols[None, :]).astype(patch.dtype)
-        oj0 = (j0[:, None] == cols[None, :]).astype(patch.dtype)
-        oj1 = (j1[:, None] == cols[None, :]).astype(patch.dtype)
-        # Precision.HIGHEST: TPU dots default to bf16 multiplies, which
-        # would truncate the selected heights and silently break the
-        # bit-exactness contract (CPU tests cannot catch it). HIGHEST's
-        # 3-term bf16 decomposition is exact for f32 inputs, and these
-        # dots are tiny (M x P x P).
-        hi = jax.lax.Precision.HIGHEST
-        rows0 = jnp.matmul(oi0, patch, precision=hi)  # (M, P): row i0
-        rows1 = jnp.matmul(oi1, patch, precision=hi)
-        t00 = jnp.sum(rows0 * oj0, axis=-1)
-        t01 = jnp.sum(rows0 * oj1, axis=-1)
-        t10 = jnp.sum(rows1 * oj0, axis=-1)
-        t11 = jnp.sum(rows1 * oj1, axis=-1)
-        return (t00.reshape(shape), t01.reshape(shape),
-                t10.reshape(shape), t11.reshape(shape))
+        return (corner(i0, j0), corner(i0, j1),
+                corner(i1, j0), corner(i1, j1))
 
     def sampler(x, y):
         gx, gy = world_to_grid(x, y, n, half_extent)

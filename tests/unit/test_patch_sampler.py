@@ -57,6 +57,86 @@ class TestPatchSampler:
         self._compare(terrain, cx, cy, qs, qs)
 
 
+class TestAlignedTiles:
+    def test_make_tiles_layout(self, terrain):
+        """Tile (k, a, b) at flat row (k*T + a)*T + b must equal the
+        edge-replicated slice of the source terrain at origin (a*S, b*S)."""
+        n = terrain.shape[-1]
+        tiles = np.asarray(hf.make_tiles(terrain))
+        T = hf.tiles_per_dim(n)
+        P, S = hf.TILE_SIZE, hf.TILE_STRIDE
+        assert tiles.shape == (T * T, P * P)
+        full = np.asarray(terrain[0])
+        for a, b in [(0, 0), (3, 7), (T - 1, 0), (0, T - 1),
+                     (T - 1, T - 1), (17, T - 1)]:
+            row = tiles[a * T + b].reshape(P, P)
+            ii = np.clip(np.arange(a * S, a * S + P), 0, n - 1)
+            jj = np.clip(np.arange(b * S, b * S + P), 0, n - 1)
+            np.testing.assert_array_equal(row, full[np.ix_(ii, jj)])
+
+    def test_tile_select_contains_footprint(self):
+        """For any world position, the selected tile must contain every
+        bilinear tap within the robot footprint (+1 corner cell) — the
+        condition under which the tile sampler is bit-exact vs the bank
+        sampler. F=8 cells (~27 cm) over-covers the ball + body-sphere
+        footprint (~7 cells incl. tilt)."""
+        n = 293
+        T = hf.tiles_per_dim(n)
+        P, S = hf.TILE_SIZE, hf.TILE_STRIDE
+        rng = np.random.default_rng(1)
+        xs = jnp.asarray(rng.uniform(-5.2, 5.2, (4096,)), jnp.float32)
+        ys = jnp.asarray(rng.uniform(-5.2, 5.2, (4096,)), jnp.float32)
+        _, pij = jax.vmap(
+            lambda x, y: hf.tile_select(jnp.asarray(0), x, y, n, 5.0, T)
+        )(xs, ys)
+        pij = np.asarray(pij)
+        F = 8.0
+        for g, o in ((np.asarray((ys + 5.0) / 10.0 * (n - 1)), pij[:, 0]),
+                     (np.asarray((xs + 5.0) / 10.0 * (n - 1)), pij[:, 1])):
+            i0_min = np.floor(np.clip(g - F, 0.0, n - 1.001)).astype(int)
+            i0_max = np.floor(np.clip(g + F, 0.0, n - 1.001)).astype(int)
+            assert (o <= i0_min).all(), "tap below tile origin"
+            assert (i0_max + 1 <= o + P - 1).all(), "tap beyond tile end"
+
+    def test_env_tiles_vs_legacy_cadence_bitwise(self, terrain):
+        """Same bank with and without tiles: the stateless tile path must
+        reproduce the legacy cadence-refresh trajectory bit for bit."""
+        from openballbot_rl_tpu.envs import (
+            BallbotEnv, EnvParams, make_terrain_bank)
+
+        gen = create_terrain({"type": "perlin",
+                              "config": {"scale": 25.0, "octaves": 4,
+                                         "persistence": 0.2,
+                                         "lacunarity": 2.0}})
+        bank_tiles = make_terrain_bank(gen, 293, 2.0, jax.random.PRNGKey(0),
+                                       2)
+        bank_plain = bank_tiles.replace(tiles=None)
+        assert bank_tiles.tiles is not None
+
+        B, T = 4, 60
+        env = BallbotEnv(EnvParams(max_ep_steps=50))
+        outs = {}
+        for name, bank in (("tiles", bank_tiles), ("legacy", bank_plain)):
+            keys = jax.random.split(jax.random.PRNGKey(2), B)
+            states, _ = jax.jit(env.batch_reset)(bank, keys)
+
+            @jax.jit
+            def roll(states):
+                def f(carry, t):
+                    states, key = carry
+                    key, k = jax.random.split(key)
+                    a = jax.random.uniform(k, (B, 3), minval=-1, maxval=1)
+                    states, obs, r, d, _ = env.batch_step(bank, states, a)
+                    return (states, key), (states.phys.base_pos, r, d)
+                _, ys = jax.lax.scan(f, (states, jax.random.PRNGKey(3)),
+                                     jnp.arange(T))
+                return ys
+
+            outs[name] = jax.tree.map(np.asarray, roll(states))
+        for va, vb in zip(outs["tiles"], outs["legacy"]):
+            np.testing.assert_array_equal(va, vb)
+
+
 class TestEnvPatchEquivalence:
     def test_trajectory_bitwise_vs_bank_sampler(self, terrain):
         """200 batched steps across refresh boundaries and auto-resets:

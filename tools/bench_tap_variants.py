@@ -57,7 +57,11 @@ def main() -> int:
         j0 = jnp.floor(g[..., 1]).astype(jnp.int32)
         return patches, i0, j0
 
+    only = os.environ.get("TAP_ONLY")   # comma-separated variant filter
+
     def run(name, P, taps_fn, ref=None):
+        if only and name not in only.split(","):
+            return None
         patches, i0, j0 = make_inputs(P)
 
         @jax.jit
@@ -226,7 +230,7 @@ def main() -> int:
                                    axis=0).reshape(B, 32, 32)
                 t00, t01, t10, t11 = exact_taps(patches, i, j0e, 32)
                 s = t00 + t01 + t10 + t11
-                i = jnp.where(s[..., 0].astype(jnp.int32) < -1, i + 1, i)
+                i = jnp.where(s[..., :1].astype(jnp.int32) < -1, i + 1, i)
                 return i, s.mean()
             c, r = jax.lax.scan(f, i0, None, length=T)
             return c, r.mean()
@@ -242,6 +246,44 @@ def main() -> int:
                           "env_steps_per_sec": round(B * T / dt),
                           "ms_per_batched_step": round(dt / T * 1e3, 3)}))
 
+    def mask_reduce_taps(patches, i0, j0, P):
+        """No matmuls, no materialized one-hots: each tap is a 2-D masked
+        reduction whose mask is an inline iota comparison. Exactly one
+        nonzero survives each reduction, so the result is bit-exact in any
+        accumulation order and at any precision — the formulation exists
+        to let XLA fuse mask construction + select + reduce into one pass
+        over the patch."""
+        ar = jnp.arange(P, dtype=jnp.int32)
+        i1 = jnp.minimum(i0 + 1, P - 1)
+        j1 = jnp.minimum(j0 + 1, P - 1)
+
+        def corner(ii, jj):
+            mi = ii[..., None] == ar                      # (B, Q, P)
+            mj = jj[..., None] == ar
+            m = mi[..., :, None] & mj[..., None, :]       # (B, Q, P, P)
+            return jnp.sum(jnp.where(m, patches[:, None], 0.0), (-2, -1))
+
+        return (corner(i0, j0), corner(i0, j1),
+                corner(i1, j0), corner(i1, j1))
+
+    def mask_rowcol_taps(patches, i0, j0, P):
+        """Two-stage masked reduce: rows by mask-reduce (one pass over the
+        patch), then columns by mask-reduce over the (B, Q, P) rows."""
+        ar = jnp.arange(P, dtype=jnp.int32)
+        i1 = jnp.minimum(i0 + 1, P - 1)
+        j1 = jnp.minimum(j0 + 1, P - 1)
+
+        def rows(ii):
+            m = (ii[..., None] == ar)[..., :, None]       # (B, Q, P, 1)
+            return jnp.sum(jnp.where(m, patches[:, None], 0.0), -2)
+
+        r0, r1 = rows(i0), rows(i1)                       # (B, Q, P)
+
+        def col(r, jj):
+            return jnp.sum(jnp.where(jj[..., None] == ar, r, 0.0), -1)
+
+        return col(r0, j0), col(r0, j1), col(r1, j0), col(r1, j1)
+
     run("onehot_hi_p32", 32, exact_taps)
     run("onehot_hi_p16", 16, exact_taps)
     run("onehot_hi_p8", 8, exact_taps)
@@ -251,6 +293,10 @@ def main() -> int:
     run("gather_full", 32, gather_taps, ref=exact_taps)
     run("shift_concat", 32, shift_concat_taps, ref=exact_taps)
     run("shift_concat_p16", 16, shift_concat_taps, ref=exact_taps)
+    run("mask_reduce", 32, mask_reduce_taps, ref=exact_taps)
+    run("mask_reduce_p16", 16, mask_reduce_taps, ref=exact_taps)
+    run("mask_rowcol", 32, mask_rowcol_taps, ref=exact_taps)
+    run("mask_rowcol_p16", 16, mask_rowcol_taps, ref=exact_taps)
     return 0
 
 

@@ -72,31 +72,36 @@ def main() -> int:
                           "ms_per_batched_step": round(dt / T * 1e3, 3)}))
 
     # --- full (bench.py path) ---
+    # bank rides in the carry: a closed-over tile bank would be serialized
+    # into the remote compile payload (HTTP 413 on the axon relay)
     @jax.jit
     def full(carry):
+        bank_, st, ob, key = carry
+
         def f(c, _):
             st, ob, key = c
             key, k = jax.random.split(key)
             mean, log_std, _ = net.apply(params, ob)
             a = jnp.clip(sample_action(k, mean, log_std), -1, 1)
-            st, ob, r, d, _ = env.batch_step(bank, st, a)
+            st, ob, r, d, _ = env.batch_step(bank_, st, a)
             return (st, ob, key), r.mean()
-        c, r = jax.lax.scan(f, carry, None, length=T)
-        return c[0].core.phys.base_pos if hasattr(c[0], "core") else \
-            c[0].phys.base_pos, r.mean()
+        c, r = jax.lax.scan(f, (st, ob, key), None, length=T)
+        return c[0].phys.base_pos, r.mean()
 
-    carry = (states, obs, jax.random.PRNGKey(3))
+    carry = (bank, states, obs, jax.random.PRNGKey(3))
     report("full", timed_rollout(jax, full, carry, T))
 
     # --- no_policy ---
     @jax.jit
     def no_policy(carry):
+        bank_, st, ob, key = carry
+
         def f(c, _):
             st, ob, key = c
             a = jnp.zeros((B, 3), jnp.float32)
-            st, ob, r, d, _ = env.batch_step(bank, st, a)
+            st, ob, r, d, _ = env.batch_step(bank_, st, a)
             return (st, ob, key), r.mean()
-        c, r = jax.lax.scan(f, carry, None, length=T)
+        c, r = jax.lax.scan(f, (st, ob, key), None, length=T)
         return c[0].phys.base_pos, r.mean()
 
     report("no_policy", timed_rollout(jax, no_policy, carry, T))
@@ -162,17 +167,19 @@ def main() -> int:
 
     @jax.jit
     def full_direct(carry):
+        bank_, st, ob, key = carry
+
         def f(c, _):
             st, ob, key = c
             a = jnp.zeros((B, 3), jnp.float32)
-            st, ob, r, d, _ = env_direct.batch_step(bank, st, a)
+            st, ob, r, d, _ = env_direct.batch_step(bank_, st, a)
             return (st, ob, key), r.mean()
-        c, r = jax.lax.scan(f, carry, None, length=T)
+        c, r = jax.lax.scan(f, (st, ob, key), None, length=T)
         return c[0].phys.base_pos, r.mean()
 
     report("env_direct_sampler",
            timed_rollout(jax, full_direct,
-                         (states_d, obs_d, jax.random.PRNGKey(3)), T))
+                         (bank, states_d, obs_d, jax.random.PRNGKey(3)), T))
 
     # --- gathers alone: 6 query points x 4 taps, like _sample_planes ---
     heights = bank.heights

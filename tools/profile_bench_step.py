@@ -38,8 +38,10 @@ def main() -> int:
         bank, jax.random.split(jax.random.PRNGKey(1), B))
     params = net.init(jax.random.PRNGKey(2), jax.tree.map(lambda x: x[0], obs))
 
+    # bank as jit argument: a closed-over tile bank would be serialized
+    # into the remote compile payload (HTTP 413 on the axon relay)
     @jax.jit
-    def rollout(params, states, obs, key):
+    def rollout(params, bank, states, obs, key):
         def f(carry, _):
             states, obs, key = carry
             key, k = jax.random.split(key)
@@ -52,13 +54,13 @@ def main() -> int:
         return states, obs, rew.mean()
 
     # warm (compile outside the trace)
-    out = rollout(params, states, obs, jax.random.PRNGKey(3))
+    out = rollout(params, bank, states, obs, jax.random.PRNGKey(3))
     jax.block_until_ready(out[2])
 
     trace_dir = "/tmp/bench_trace"
     os.system(f"rm -rf {trace_dir}")
     jax.profiler.start_trace(trace_dir)
-    out = rollout(params, states, obs, jax.random.PRNGKey(4))
+    out = rollout(params, bank, states, obs, jax.random.PRNGKey(4))
     jax.block_until_ready(out[2])
     jax.profiler.stop_trace()
 
