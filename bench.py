@@ -13,6 +13,16 @@ features at the reference's 90 Hz camera cadence, B=1024) — the reference's
 `vision_env_steps_per_sec` is the like-for-like comparison and
 `env_steps_per_sec` the blind-engine headline.
 
+Measurement protocol (round 4 — BENCH_r03's vision number was physically
+impossible, 2,800x too large): `jax.block_until_ready` on a relay-backed
+output is not trusted to force execution, so every timed rep FETCHES a
+scalar checksum to the host with `jax.device_get` before the clock is read.
+The checksum folds in a slice of every final observation leaf (vision
+features included) plus the reward/done reductions, so no part of the step
+graph is prunable from the fetched value. A bandwidth self-check then
+refuses to print any vision number whose implied depth-image HBM traffic
+exceeds the chip's bandwidth.
+
 Prints exactly one JSON line:
   {"metric": "env_steps_per_sec", "value": N, "unit": "steps/s",
    "vs_baseline": N/203, "vision_env_steps_per_sec": M,
@@ -26,6 +36,10 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+# v5e HBM bandwidth (bytes/s); the sanity bound uses 1.2x headroom so a
+# legitimately bandwidth-saturating render never trips it
+_HBM_BYTES_PER_S = 819e9
 
 
 def _wait_for_relay() -> None:
@@ -69,6 +83,49 @@ def _wait_for_relay() -> None:
     raise SystemExit(2)
 
 
+def _make_rollout(jax, jnp, env, net, sample_action, T):
+    """Jitted T-step rollout returning (states, obs, rmean, dsum, checksum).
+
+    The checksum mixes the reward/done reductions with a small slice of
+    EVERY final obs leaf — the policy consumes the obs (vision features
+    included), so fetching the checksum forces the full physics + render +
+    encoder chain; nothing in the step graph is dead code w.r.t. it.
+    """
+    @jax.jit
+    def rollout(params, bank, states, obs, key):
+        def f(carry, _):
+            states, obs, key = carry
+            key, k = jax.random.split(key)
+            mean, log_std, _ = net.apply(params, obs)
+            actions = jnp.clip(sample_action(k, mean, log_std), -1, 1)
+            states, obs, reward, done, _ = env.batch_step(bank, states, actions)
+            return (states, obs, key), (reward.mean(), done.sum())
+        (states, obs, key), (rew, dones) = jax.lax.scan(
+            f, (states, obs, key), None, length=T)
+        rmean, dsum = rew.mean(), dones.sum()
+        checksum = rmean + dsum.astype(jnp.float32)
+        for leaf in jax.tree.leaves(obs):
+            checksum = checksum + jnp.sum(
+                leaf.reshape(-1)[:64].astype(jnp.float32))
+        return states, obs, rmean, dsum, checksum
+
+    return rollout
+
+
+def _timed_reps(jax, rollout, params, bank, states, obs, key, reps):
+    """Run `reps` rollouts, forcing execution with a host fetch inside the
+    timed region each rep. Returns (dt_per_rep, rmean, dsum, checksums)."""
+    checksums = []
+    t0 = time.time()
+    for _ in range(reps):
+        states, obs, rmean, dsum, chk = rollout(params, bank, states, obs, key)
+        # the clock must not stop before the work is DONE: device_get is a
+        # real host transfer of a value the whole step graph feeds into
+        checksums.append(float(jax.device_get(chk)))
+    dt = (time.time() - t0) / reps
+    return dt, rmean, dsum, checksums
+
+
 def main() -> int:
     _wait_for_relay()
     import jax
@@ -96,35 +153,23 @@ def main() -> int:
     # arrays become jaxpr constants serialized into the compile payload,
     # and the aligned tile bank (~300 MB) blows the axon relay's
     # remote_compile request limit (HTTP 413)
-    @jax.jit
-    def rollout(params, bank, states, obs, key):
-        def f(carry, _):
-            states, obs, key = carry
-            key, k = jax.random.split(key)
-            mean, log_std, _ = net.apply(params, obs)
-            actions = jnp.clip(sample_action(k, mean, log_std), -1, 1)
-            states, obs, reward, done, _ = env.batch_step(bank, states, actions)
-            return (states, obs, key), (reward.mean(), done.sum())
-        (states, obs, key), (rew, dones) = jax.lax.scan(
-            f, (states, obs, key), None, length=T)
-        return states, obs, rew.mean(), dones.sum()
+    rollout = _make_rollout(jax, jnp, env, net, sample_action, T)
 
     key = jax.random.PRNGKey(3)
     t0 = time.time()
-    states, obs, rmean, dsum = rollout(params, bank, states, obs, key)
-    jax.block_until_ready(rmean)
+    out = rollout(params, bank, states, obs, key)
+    float(jax.device_get(out[-1]))
     compile_s = time.time() - t0
+    states, obs = out[0], out[1]
 
-    t0 = time.time()
-    for _ in range(REPS):
-        states, obs, rmean, dsum = rollout(params, bank, states, obs, key)
-    jax.block_until_ready(rmean)
-    dt = (time.time() - t0) / REPS
+    dt, rmean, dsum, checksums = _timed_reps(
+        jax, rollout, params, bank, states, obs, key, REPS)
 
     steps_per_sec = B * T / dt
     sys.stderr.write(
         f"[bench] device={jax.devices()[0]} B={B} T={T} compile={compile_s:.1f}s "
-        f"iter={dt*1e3:.1f}ms reward_mean={float(rmean):+.4f} dones={int(dsum)}\n")
+        f"iter={dt*1e3:.1f}ms reward_mean={float(rmean):+.4f} "
+        f"dones={int(dsum)} checksums={checksums}\n")
 
     vision_steps_per_sec = _bench_vision(jax, jnp, bank)
 
@@ -172,6 +217,8 @@ def _bench_vision(jax, jnp, bank):
         "frozen_cnn": enc,
     }
     env, _ = make_env_from_config(cfg)
+    from openballbot_rl_tpu.envs import add_cam_tiles
+    bank = add_cam_tiles(bank)
 
     net = ActorCritic(use_batchnorm=False)
     keys = jax.random.split(jax.random.PRNGKey(11), B)
@@ -179,34 +226,38 @@ def _bench_vision(jax, jnp, bank):
     params = net.init(jax.random.PRNGKey(12),
                       jax.tree.map(lambda x: x[0], obs))
 
-    @jax.jit
-    def rollout(params, bank, states, obs, key):
-        def f(carry, _):
-            states, obs, key = carry
-            key, k = jax.random.split(key)
-            mean, log_std, _ = net.apply(params, obs)
-            actions = jnp.clip(sample_action(k, mean, log_std), -1, 1)
-            states, obs, reward, done, _ = env.batch_step(bank, states, actions)
-            return (states, obs, key), (reward.mean(), done.sum())
-        (states, obs, key), (rew, dones) = jax.lax.scan(
-            f, (states, obs, key), None, length=T)
-        return states, obs, rew.mean(), dones.sum()
+    rollout = _make_rollout(jax, jnp, env, net, sample_action, T)
 
     key = jax.random.PRNGKey(13)
     t0 = time.time()
-    states, obs, rmean, dsum = rollout(params, bank, states, obs, key)
-    jax.block_until_ready(rmean)
+    out = rollout(params, bank, states, obs, key)
+    float(jax.device_get(out[-1]))
     compile_s = time.time() - t0
+    states, obs = out[0], out[1]
 
-    t0 = time.time()
-    for _ in range(REPS):
-        states, obs, rmean, dsum = rollout(params, bank, states, obs, key)
-    jax.block_until_ready(rmean)
-    dt = (time.time() - t0) / REPS
+    dt, rmean, dsum, checksums = _timed_reps(
+        jax, rollout, params, bank, states, obs, key, REPS)
 
     sys.stderr.write(
         f"[bench] vision B={B} T={T} compile={compile_s:.1f}s "
-        f"iter={dt*1e3:.1f}ms reward_mean={float(rmean):+.4f}\n")
+        f"iter={dt*1e3:.1f}ms reward_mean={float(rmean):+.4f} "
+        f"checksums={checksums}\n")
+
+    # ---- physical sanity bound (round 4): a vision rollout renders
+    # ceil(T / frame_skip) batched 2xHxW f32 depth frames; writing them
+    # once to HBM is a hard floor on rollout time. A number implying more
+    # than the chip's bandwidth is a measurement failure, not a result.
+    frame_skip = getattr(env.vp, "frame_skip", 6)
+    renders = -(-T // frame_skip)
+    image_bytes = renders * B * 2 * env.vp.height * env.vp.width * 4
+    min_dt = image_bytes / (1.2 * _HBM_BYTES_PER_S)
+    if dt < min_dt:
+        sys.stderr.write(
+            f"[bench] REFUSING vision number: measured iter {dt*1e3:.3f} ms "
+            f"< bandwidth floor {min_dt*1e3:.3f} ms for {image_bytes/1e6:.0f}"
+            " MB of depth frames — execution was not forced; fix the "
+            "measurement instead of reporting this\n")
+        return None
     return B * T / dt
 
 

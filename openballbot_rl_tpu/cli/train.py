@@ -131,8 +131,12 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
     fixed_seed = (terrain_cfg.get("config", {}) or {}).get("seed")
     key = jax.random.PRNGKey(seed)
     key, k_bank, k_init, k_eval = jax.random.split(key, 4)
+    # vision envs also get the renderer's aligned camera-tile supply
+    # (sensors/depth.py render_tiles); blind envs skip the ~170 MB bank
+    is_vision = hasattr(env, "vp")
     bank = make_terrain_bank(terrain_gen, env.model.hfield_n, env.params.zscale,
-                             k_bank, bank_size, fixed_seed=fixed_seed)
+                             k_bank, bank_size, fixed_seed=fixed_seed,
+                             build_cam_tiles=is_vision)
 
     # terrain curriculum (capability the reference lacks): anneal one terrain
     # config parameter over training and regenerate the bank on the fly —
@@ -162,7 +166,8 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
                        "config": {**base_tcfg, cur_param: value}})
             return make_terrain_bank(gen, env.model.hfield_n,
                                      env.params.zscale, key, bank_size,
-                                     fixed_seed=fixed_seed)
+                                     fixed_seed=fixed_seed,
+                                     build_cam_tiles=is_vision)
 
     # Evaluation always runs on a dedicated bank at FINAL difficulty: under a
     # curriculum, evaluating on the current (easier) bank would make eval

@@ -138,7 +138,8 @@ def load_encoder(path: str) -> Dict:
         meta = json.load(f)
     from openballbot_rl_tpu.nn.networks import DepthEncoder
     enc = DepthEncoder(meta["latent_dim"],
-                       use_batchnorm=meta["use_batchnorm"])
+                       use_batchnorm=meta["use_batchnorm"],
+                       padding=meta.get("padding", "SAME"))
     dummy = jnp.zeros((1, meta["in_channels"], meta["hw"], meta["hw"]))
     template = enc.init(jax.random.PRNGKey(0), dummy, train=True)
     with open(path, "rb") as f:
@@ -160,7 +161,8 @@ def make_frozen_encoder(path: str) -> Tuple[Callable, Dict]:
     art = load_encoder(path)
     from openballbot_rl_tpu.nn.networks import DepthEncoder
     enc = DepthEncoder(art["meta"]["latent_dim"],
-                       use_batchnorm=art["meta"]["use_batchnorm"])
+                       use_batchnorm=art["meta"]["use_batchnorm"],
+                       padding=art["meta"].get("padding", "SAME"))
     variables = {"params": art["params"], "batch_stats": art["batch_stats"]}
 
     def encode(imgs):

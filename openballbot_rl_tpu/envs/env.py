@@ -119,12 +119,30 @@ class TerrainBank:
     # aligned P x P tiles, flat (K*T*T, P*P) — the stateless patch supply
     # (hfield.make_tiles). None = legacy cadence-refresh patch path.
     tiles: Optional[jnp.ndarray] = None
+    # aligned CAMERA tiles, flat (K*Tc*Tc, Pc*Pc) bf16 raw heights — the
+    # renderer's patch supply (sensors/depth.py render_tiles). None = the
+    # renderer slices its patch per env (render_patch). Built on demand by
+    # add_cam_tiles / make_terrain_bank(build_cam_tiles=True); only vision
+    # envs read it.
+    cam_tiles: Optional[jnp.ndarray] = None
+
+
+def add_cam_tiles(bank: TerrainBank) -> TerrainBank:
+    """Attach the renderer's aligned camera-tile supply to a bank (no-op if
+    already present). Tiles are bf16 raw heights: the renderer downcasts
+    its patch to bf16 before the MXU polar resample anyway."""
+    if bank.cam_tiles is not None:
+        return bank
+    return bank.replace(cam_tiles=hf.make_tiles(
+        bank.heights, hf.CAM_TILE_SIZE, hf.CAM_TILE_STRIDE,
+        dtype=jnp.bfloat16))
 
 
 def make_terrain_bank(gen: Callable, n: int, zscale: float, key,
                       bank_size: int, fixed_seed: Optional[int] = None,
                       use_native: Optional[bool] = None,
-                      build_tiles: bool = True) -> TerrainBank:
+                      build_tiles: bool = True,
+                      build_cam_tiles: bool = False) -> TerrainBank:
     """Generate a bank of terrains with per-episode seed semantics.
 
     gen: a configured terrain closure (core.factories.create_terrain output).
@@ -198,9 +216,16 @@ def make_terrain_bank(gen: Callable, n: int, zscale: float, key,
     # their next step (exactly matching the direct-sampler semantics)
     version = jax.random.randint(jax.random.fold_in(key, 0x5eed),
                                  (), 0, jnp.iinfo(jnp.int32).max)
+    if build_tiles:
+        # the tile margin is fixed in grid cells; fail loudly if this grid's
+        # cell size shrinks it below the physics query footprint (ADVICE r3)
+        hf.check_tile_margin(n, 5.0)
     tiles = hf.make_tiles(heights) if build_tiles else None
-    return TerrainBank(heights=heights, spawn_offsets=offsets, seeds=seeds,
+    bank = TerrainBank(heights=heights, spawn_offsets=offsets, seeds=seeds,
                        version=version, tiles=tiles)
+    if build_cam_tiles:
+        bank = add_cam_tiles(bank)
+    return bank
 
 
 class BallbotEnv:
@@ -340,6 +365,17 @@ class BallbotEnv:
         m = self.model
         n = bank.heights.shape[-1]
         tick = state.tick + 1
+        # a state reset under one bank mode must not be stepped under the
+        # other: tiles-mode states carry a (1, 1) dummy patch that the
+        # legacy path would silently sample as zero terrain (ADVICE r3).
+        # Shapes are static, so this fails at trace time, not per step.
+        if p.terrain_patch:
+            want = (1, 1) if self._tiles_mode(bank) else \
+                (p.terrain_patch_size, p.terrain_patch_size)
+            assert state.patch.shape == want, (
+                f"state.patch shape {state.patch.shape} does not match the "
+                f"bank's patch mode (expected {want}): this state was reset "
+                "under a bank with a different tiles= configuration")
         if self._tiles_mode(bank):
             # stateless aligned-tile patch (round 3): select the tile
             # nearest the robot by index arithmetic and fetch it with one

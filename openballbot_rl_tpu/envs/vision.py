@@ -110,7 +110,18 @@ class VisionBallbotEnv:
             if self.encode_fn is not None:
                 return self.encode_fn(imgs)
             return imgs
-        if self.cams.cfg.use_patch:
+        if self.cams.cfg.use_patch and bank.cam_tiles is not None:
+            # TPU fastest path (round 4): aligned camera tiles — one
+            # embedding-style row gather per camera instead of the per-env
+            # dynamic_slice XLA serializes under vmap (see
+            # sensors/depth.py render_tiles)
+            n = self.model.hfield_n
+            Tc = hf.tiles_per_dim(n, hf.CAM_TILE_SIZE, hf.CAM_TILE_STRIDE)
+            depth = self.cams.render_tiles(
+                bank.cam_tiles, core.terrain_idx, Tc, n,
+                self.model.hfield_half_extent, self.params.zscale,
+                core.phys.base_pos, core.phys.base_quat, core.phys.ball_pos)
+        elif self.cams.cfg.use_patch:
             # TPU fast path: local patch + polar einsum (sensors/depth.py
             # render_patch) — the per-pixel gather march runs at ~78M
             # elements/s on TPU, unusable batched

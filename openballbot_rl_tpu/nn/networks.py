@@ -33,13 +33,19 @@ class DepthEncoder(nn.Module):
     channels: int = 32
     use_batchnorm: bool = True
     compute_dtype: Any = jnp.float32
+    # "SAME" (default) or "torch": torch's Conv2d(k=3, s=2, p=1) pads (1, 1)
+    # per side where SAME pads (0, 1) on even inputs — weights ported from
+    # the reference's shipped torch encoder need "torch" to reproduce its
+    # outputs (tools/port_reference_encoder.py)
+    padding: str = "SAME"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        pad = ((1, 1), (1, 1)) if self.padding == "torch" else self.padding
         # to NHWC
         x = jnp.moveaxis(x, -3, -1).astype(self.compute_dtype)
         for i in range(2):
-            x = nn.Conv(self.channels, (3, 3), strides=(2, 2), padding="SAME",
+            x = nn.Conv(self.channels, (3, 3), strides=(2, 2), padding=pad,
                         dtype=self.compute_dtype, name=f"conv{i}")(x)
             if self.use_batchnorm:
                 x = nn.BatchNorm(use_running_average=not train,

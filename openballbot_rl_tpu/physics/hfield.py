@@ -62,7 +62,7 @@ def make_sampler(heights: jnp.ndarray, idx, half_extent: float, zscale):
         h23 = t10 * (1 - fx) + t11 * fx          # row i1
         h = (h01 * (1 - fy) + h23 * fy) * zscale
 
-        cell = 2.0 * half_extent / (n - 1)
+        cell = 2.0 * half_extent / max(n - 1, 1)   # n=1: one flat cell
         dh_dx = (((t01 - t00) * (1 - fy) + (t11 - t10) * fy) * zscale) / cell
         dh_dy = ((h23 - h01) * zscale) / cell
         return h, dh_dx, dh_dy
@@ -82,36 +82,74 @@ def make_sampler(heights: jnp.ndarray, idx, half_extent: float, zscale):
 # index arithmetic from base_pos — no cached patch state, no refresh
 # cadence, no bank-version tracking.
 #
-# Margin: the robot sits within S/2 cells of its tile center, queries
-# (ball + body spheres + bilinear corner) within ~8 cells of the robot, so
-# S=8, P=32 leaves >=4 spare cells; values are bit-identical to the direct
-# sampler wherever queries are in-tile (same cells of the same grid).
+# Margin: the robot lands within S/2 cells of its tile center (selection
+# rounds to the stride grid), the tile extends (P-1)/2 cells either side of
+# its center, and the furthest bilinear tap sits one cell past the query, so
+# one-sided coverage is (P-1)/2 - S/2 cells past the query footprint. For
+# the physics tiles (P=32, S=8) that is 11.5 cells against a <=8-cell query
+# footprint (ball + body spheres incl. tilt): 2.5 spare cells. NOTE the
+# margin is measured in GRID CELLS — a finer grid (larger n) shrinks it in
+# world meters with no change here, so make_terrain_bank asserts the
+# world-space margin against the physics footprint at build time
+# (check_tile_margin below) instead of trusting this comment.
 
 TILE_SIZE = 32
 TILE_STRIDE = 8
 
+# camera tiles (renderer patch supply): render_tiles recentres a
+# patch_n x patch_n window (P_R = 118 cells, sensors/depth.py) out of the
+# selected tile, so the tile must cover [crow - P_R//2, crow + P_R//2 - 1]
+# for any camera row within S/2 of the tile center: P >= P_R + 1 + S
+# (144 >= 119 + 24). Stored bf16: the renderer downcasts the patch to bf16
+# before its MXU polar resample anyway, so tile storage loses nothing.
+CAM_TILE_SIZE = 144
+CAM_TILE_STRIDE = 24
 
-def tiles_per_dim(n: int) -> int:
+# world-space query footprint the physics tiles must cover around the base:
+# ball contact + body spheres + one bilinear corner cell, under max tilt
+# (~0.27 m; see tests/unit/test_patch_sampler.py footprint check)
+PHYS_QUERY_FOOTPRINT_M = 0.30
+
+
+def tiles_per_dim(n: int, tile_size: int = TILE_SIZE,
+                  stride: int = TILE_STRIDE) -> int:
     """Tile count per axis: stride-S origins covering [0, n-P] inclusive,
     rounded up (the last tile may extend into edge padding that clamped
-    queries can never address)."""
-    P, S = TILE_SIZE, TILE_STRIDE
-    return -(-(n - P) // S) + 1
+    queries can never address). Small grids (n <= P) get one tile that the
+    edge padding in make_tiles completes."""
+    return max(1, -(-(n - tile_size) // stride) + 1)
 
 
-def make_tiles(heights: jnp.ndarray) -> jnp.ndarray:
+def check_tile_margin(n: int, half_extent: float) -> None:
+    """Fail loudly when the physics-tile margin no longer covers the
+    engine's query footprint in WORLD meters (the margin is fixed in grid
+    cells, so a finer grid silently shrinks it otherwise)."""
+    margin_cells = (TILE_SIZE - 1) / 2 - TILE_STRIDE / 2 - 1  # -1: bilinear
+    cell = 2.0 * half_extent / max(n - 1, 1)
+    if margin_cells * cell < PHYS_QUERY_FOOTPRINT_M and n > TILE_SIZE:
+        raise ValueError(
+            f"aligned-tile margin {margin_cells * cell:.3f} m at n={n} "
+            f"(cell {cell * 100:.2f} cm) is below the physics query "
+            f"footprint {PHYS_QUERY_FOOTPRINT_M} m — raise TILE_SIZE or "
+            "lower TILE_STRIDE before using tiles on this grid")
+
+
+def make_tiles(heights: jnp.ndarray, tile_size: int = TILE_SIZE,
+               stride: int = TILE_STRIDE, dtype=None) -> jnp.ndarray:
     """Pre-slice a (K, n, n) bank into aligned tiles, flat (K*T*T, P*P).
 
     Flat layout: tile (k, a, b) lives at row (k*T + a)*T + b, covering
     grid rows [a*S, a*S+P) and cols [b*S, b*S+P). Pure array ops (static
     slices), so it runs wherever the bank is generated, device included.
     """
-    P, S = TILE_SIZE, TILE_STRIDE
+    P, S = tile_size, stride
     K, n = heights.shape[0], heights.shape[-1]
-    T = tiles_per_dim(n)
+    T = tiles_per_dim(n, P, S)
     n_pad = S * (T - 1) + P
     h = jnp.pad(heights, ((0, 0), (0, n_pad - n), (0, n_pad - n)),
                 mode="edge")
+    if dtype is not None:
+        h = h.astype(dtype)
     bands = jnp.stack([h[:, a * S:a * S + P, :] for a in range(T)], 1)
     tiles = jnp.stack([bands[..., b * S:b * S + P] for b in range(T)], 2)
     return tiles.reshape(K * T * T, P * P)
@@ -128,6 +166,24 @@ def tile_select(terrain_idx, x, y, n: int, half_extent: float, T: int):
     b = jnp.clip(jnp.round((gx - (P - 1) / 2) / S).astype(jnp.int32), 0, T - 1)
     flat = (terrain_idx * T + a) * T + b
     return flat, jnp.stack([a * S, b * S]).astype(jnp.int32)
+
+
+def cam_tile_select(terrain_idx, crow, ccol, T: int):
+    """Flat camera-tile row + grid origin for integer camera grid coords.
+
+    crow/ccol are the camera's SNAPPED grid row/col (render_patch's
+    round((y + E)/cell) ints, possibly out of [0, n) — selection clips).
+    Guarantee (proof in docs/guides/performance.md): with
+    P >= patch_n + 1 + S, every recentred patch row
+    clip(crow - patch_n//2 + v, 0, n-1) lands inside the selected tile.
+    """
+    P, S = CAM_TILE_SIZE, CAM_TILE_STRIDE
+    a = jnp.clip(jnp.round((crow - (P - 1) / 2) / S).astype(jnp.int32),
+                 0, T - 1)
+    b = jnp.clip(jnp.round((ccol - (P - 1) / 2) / S).astype(jnp.int32),
+                 0, T - 1)
+    flat = (terrain_idx * T + a) * T + b
+    return flat, a * S, b * S
 
 
 def extract_patch(heights: jnp.ndarray, idx, x, y, n: int,
@@ -211,7 +267,7 @@ def make_patch_sampler(patch: jnp.ndarray, patch_ij: jnp.ndarray,
         h23 = t10 * (1 - fx) + t11 * fx          # row i1
         h = (h01 * (1 - fy) + h23 * fy) * zscale
 
-        cell = 2.0 * half_extent / (n - 1)
+        cell = 2.0 * half_extent / max(n - 1, 1)   # n=1: one flat cell
         dh_dx = (((t01 - t00) * (1 - fy) + (t11 - t10) * fy) * zscale) / cell
         dh_dy = ((h23 - h01) * zscale) / cell
         return h, dh_dx, dh_dy

@@ -328,6 +328,67 @@ class DepthCameras:
     # ------------------------------------------------------------------
     # TPU fast path: patch + polar profiles, constant-weight matmul (MXU)
     # ------------------------------------------------------------------
+    def _stacked_rays(self, base_pos, base_quat):
+        """Both cameras' origins and world-frame rays, stacked on a leading
+        axis of 2 (half the kernel count of a per-camera python loop)."""
+        R = quat_to_mat(base_quat)
+        origins = base_pos[None, :] + jnp.einsum(
+            "ij,cj->ci", R, self._cam_pos)                    # (2, 3)
+        Rcw = jnp.einsum("ij,cjk->cik", R, self._cam_rot)     # (2, 3, 3)
+        dirs_w = jnp.einsum("cij,hwj->chwi", Rcw, self._dirs)
+        H, W = dirs_w.shape[1:3]
+        return origins, dirs_w.reshape(2, -1, 3), H, W        # d: (2, HW, 3)
+
+    def _stacked_ball(self, origins, d, ball_pos):
+        """Analytic ray-sphere over both cameras: t (2, HW), inf on miss."""
+        cfg = self.cfg
+        oc = origins - ball_pos                               # (2, 3)
+        b = jnp.einsum("cri,ci->cr", d, oc)
+        c = jnp.sum(oc * oc, axis=-1)[:, None] - self.ball_radius ** 2
+        disc = b * b - c
+        t_ball = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+        return jnp.where((disc > 0) & (t_ball > cfg.znear), t_ball, jnp.inf)
+
+    def _profile_depth(self, origins, d, t_ball, h_polar, dx, dy, H, W):
+        """Depth image from per-camera polar terrain profiles: circular
+        theta tent -> per-ray radial profile -> closed-form first crossing
+        (_ray_profile_crossing) -> min with the ball, axial clip."""
+        cfg = self.cfg
+        radii = jnp.linspace(0.02, cfg.t_max, _NS)
+        HW = d.shape[1]
+
+        # --- per-ray height profile via circular tent over theta ---
+        dxy = jnp.maximum(jnp.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2), 1e-4)
+        theta = jnp.arctan2(d[..., 1], d[..., 0])             # (-pi, pi]
+        tcoord = (theta % (2.0 * jnp.pi)) / (2.0 * jnp.pi) * _NTH
+        dist = jnp.abs(tcoord[..., None] - jnp.arange(_NTH)[None, None, :])
+        dist = jnp.minimum(dist, _NTH - dist)                 # circular
+        wth = jnp.maximum(0.0, 1.0 - dist).astype(jnp.bfloat16)
+        # h_ray stays bf16: each profile mixes <=2 polar bins (tent), so
+        # the MXU's f32 accumulation loses nothing downcasting, and bf16
+        # halves the dominant HBM term of the crossing pass (~1 mm
+        # quantization on <=0.6 m heights, under the path's tolerance)
+        h_ray = jnp.einsum("crn,cnk->crk", wth,
+                           h_polar.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.bfloat16)
+
+        # --- first crossing: exact per-segment closed form via one masked
+        # min-reduction (_ray_profile_crossing), fully dense (TPU gathers
+        # run ~78M elem/s; argmax + take_along_axis here cost >100 ms per
+        # batched render). Cams flatten into the ray axis.
+        m = (d[..., 2] / dxy).reshape(-1)                     # (2*HW,)
+        eps = ((d[..., 0] * dx[:, None] + d[..., 1] * dy[:, None])
+               / dxy).reshape(-1)
+        czv = jnp.repeat(origins[:, 2], HW)
+        hit_any, s_star = _ray_profile_crossing(
+            czv, m, eps, h_ray.reshape(-1, _NS), radii)
+        t_terr = jnp.where(hit_any, (s_star - eps) / dxy.reshape(-1),
+                           jnp.inf).reshape(2, HW)
+
+        t_hit = jnp.minimum(t_ball, jnp.maximum(t_terr, cfg.znear))
+        depth = t_hit * self._axial.reshape(-1)[None, :]
+        return jnp.clip(depth, 0.0, cfg.max_depth).reshape(2, H, W)
+
     def render_patch(self, heights, idx, half_extent, zscale,
                      base_pos, base_quat, ball_pos):
         """Gather-free terrain rendering against a local patch.
@@ -362,27 +423,9 @@ class DepthCameras:
             f"DepthCameraConfig.patch_n or use a larger heightfield")
         cell = 2.0 * half_extent / (n - 1)
         Wmat = _polar_resample_matrix(cell, cfg.t_max, P)
-        radii = jnp.linspace(0.02, cfg.t_max, _NS)
-        R = quat_to_mat(base_quat)
 
-        # both cameras ride through every op STACKED on a leading axis of 2
-        # (half the kernel count of a per-camera python loop; the arrays are
-        # large enough under vmap that per-kernel overhead was measurable)
-        origins = base_pos[None, :] + jnp.einsum(
-            "ij,cj->ci", R, self._cam_pos)                    # (2, 3)
-        Rcw = jnp.einsum("ij,cjk->cik", R, self._cam_rot)     # (2, 3, 3)
-        dirs_w = jnp.einsum("cij,hwj->chwi", Rcw, self._dirs)
-        H, W = dirs_w.shape[1:3]
-        d = dirs_w.reshape(2, -1, 3)                          # (2, HW, 3)
-        HW = d.shape[1]
-
-        # --- ball: analytic ray-sphere, stacked over cams ---
-        oc = origins - ball_pos                               # (2, 3)
-        b = jnp.einsum("cri,ci->cr", d, oc)
-        c = jnp.sum(oc * oc, axis=-1)[:, None] - self.ball_radius ** 2
-        disc = b * b - c
-        t_ball = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
-        t_ball = jnp.where((disc > 0) & (t_ball > cfg.znear), t_ball, jnp.inf)
+        origins, d, H, W = self._stacked_rays(base_pos, base_quat)
+        t_ball = self._stacked_ball(origins, d, ball_pos)
 
         # --- camera-centered patches, snapped to the lattice ---
         crow = jnp.round((origins[:, 1] + half_extent) / cell) \
@@ -419,37 +462,66 @@ class DepthCameras:
         dx = origins[:, 0] - (ccol * cell - half_extent)      # (2,)
         dy = origins[:, 1] - (crow * cell - half_extent)
 
-        # --- per-ray height profile via circular tent over theta ---
-        dxy = jnp.maximum(jnp.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2), 1e-4)
-        theta = jnp.arctan2(d[..., 1], d[..., 0])             # (-pi, pi]
-        tcoord = (theta % (2.0 * jnp.pi)) / (2.0 * jnp.pi) * _NTH
-        dist = jnp.abs(tcoord[..., None] - jnp.arange(_NTH)[None, None, :])
-        dist = jnp.minimum(dist, _NTH - dist)                 # circular
-        wth = jnp.maximum(0.0, 1.0 - dist).astype(jnp.bfloat16)
-        # h_ray stays bf16: each profile mixes <=2 polar bins (tent), so
-        # the MXU's f32 accumulation loses nothing downcasting, and bf16
-        # halves the dominant HBM term of the crossing pass (~1 mm
-        # quantization on <=0.6 m heights, under the path's tolerance)
-        h_ray = jnp.einsum("crn,cnk->crk", wth,
-                           h_polar.astype(jnp.bfloat16),
-                           preferred_element_type=jnp.bfloat16)
+        return self._profile_depth(origins, d, t_ball, h_polar, dx, dy, H, W)
 
-        # --- first crossing: exact per-segment closed form via one masked
-        # min-reduction (_ray_profile_crossing), fully dense (TPU gathers
-        # run ~78M elem/s; argmax + take_along_axis here cost >100 ms per
-        # batched render). Cams flatten into the ray axis.
-        m = (d[..., 2] / dxy).reshape(-1)                     # (2*HW,)
-        eps = ((d[..., 0] * dx[:, None] + d[..., 1] * dy[:, None])
-               / dxy).reshape(-1)
-        czv = jnp.repeat(origins[:, 2], HW)
-        hit_any, s_star = _ray_profile_crossing(
-            czv, m, eps, h_ray.reshape(-1, _NS), radii)
-        t_terr = jnp.where(hit_any, (s_star - eps) / dxy.reshape(-1),
-                           jnp.inf).reshape(2, HW)
+    def render_tiles(self, cam_tiles, idx, tiles_T, n, half_extent, zscale,
+                     base_pos, base_quat, ball_pos):
+        """render_patch against a pre-sliced aligned camera-tile bank.
 
-        t_hit = jnp.minimum(t_ball, jnp.maximum(t_terr, cfg.znear))
-        depth = t_hit * self._axial.reshape(-1)[None, :]
-        return jnp.clip(depth, 0.0, cfg.max_depth).reshape(2, H, W)
+        cam_tiles: (K*T*T, Pc*Pc) bf16 RAW heights in [0, 1]
+        (hfield.make_tiles with CAM_TILE_SIZE/CAM_TILE_STRIDE); tiles_T:
+        static tiles-per-dim. Replaces render_patch's two per-env
+        (1, P, P) dynamic_slices — which XLA lowers to a SERIAL per-env
+        loop under vmap, the same shape that cost the physics path 65.7 ms
+        (physics/hfield.py module doc) — with one embedding-style row
+        gather per camera. The recentring one-hot matmuls then select the
+        patch_n window out of the tile exactly as render_patch selects it
+        out of the full grid (identical world rows, clamp-to-edge at the
+        border via the tile's own edge padding), so everything downstream
+        of `pc` is the shared _profile_depth path. Bit-parity with
+        render_patch: exact when zscale is a power of two (bf16 scaling
+        commutes), <=1 ulp(bf16) otherwise (tests/unit/test_sensors.py).
+        """
+        from openballbot_rl_tpu.physics import hfield as hf
+
+        cfg = self.cfg
+        P = cfg.patch_n
+        Pc = hf.CAM_TILE_SIZE
+        cell = 2.0 * half_extent / (n - 1)
+        Wmat = _polar_resample_matrix(cell, cfg.t_max, P)
+
+        origins, d, H, W = self._stacked_rays(base_pos, base_quat)
+        t_ball = self._stacked_ball(origins, d, ball_pos)
+
+        crow = jnp.round((origins[:, 1] + half_extent) / cell) \
+            .astype(jnp.int32)                                # (2,)
+        ccol = jnp.round((origins[:, 0] + half_extent) / cell) \
+            .astype(jnp.int32)
+        flat, a0, b0 = hf.cam_tile_select(idx, crow, ccol, tiles_T)
+        tiles = jnp.take(cam_tiles, flat, axis=0).reshape(2, Pc, Pc)
+
+        # recentre out of the tile: same world rows as render_patch, tile
+        # origin replacing the slice origin (cam_tile_select guarantees
+        # containment; the outer clip is a proven no-op kept as a guard —
+        # an out-of-range row would make the one-hot all-zero, i.e. h=0)
+        v = jnp.arange(P, dtype=jnp.int32)
+        vc = jnp.arange(Pc, dtype=jnp.int32)
+        lr = jnp.clip(jnp.clip(crow[:, None] - P // 2 + v[None, :], 0, n - 1)
+                      - a0[:, None], 0, Pc - 1)               # (2, P)
+        lc = jnp.clip(jnp.clip(ccol[:, None] - P // 2 + v[None, :], 0, n - 1)
+                      - b0[:, None], 0, Pc - 1)
+        Rr = (lr[:, :, None] == vc[None, None, :]).astype(jnp.bfloat16)
+        Rc = (lc[:, :, None] == vc[None, None, :]).astype(jnp.bfloat16)
+        pc = jnp.einsum("cvr,crk,cwk->cvw", Rr, tiles, Rc)    # (2, P, P) bf16
+        # raw [0,1] heights through the constant resample; zscale applied in
+        # f32 AFTER (linearity) — bitwise-commutes when zscale is 2^k
+        h_polar = jnp.einsum("mk,ck->cm", Wmat, pc.reshape(2, -1),
+                             preferred_element_type=jnp.float32) * zscale
+        h_polar = h_polar.reshape(2, _NTH, _NS)
+        dx = origins[:, 0] - (ccol * cell - half_extent)      # (2,)
+        dy = origins[:, 1] - (crow * cell - half_extent)
+
+        return self._profile_depth(origins, d, t_ball, h_polar, dx, dy, H, W)
 
     def render_patch_einsum(self, heights, idx, half_extent, zscale,
                             base_pos, base_quat, ball_pos):

@@ -283,35 +283,19 @@ class PPO:
     @partial(jax.jit, static_argnums=(0, 3, 4))
     def evaluate(self, params, bank: TerrainBank, n_episodes: int,
                  max_steps: int, key) -> Dict[str, jnp.ndarray]:
-        """Run n_episodes deterministic episodes (mean action), one env each,
-        mirroring SB3 EvalCallback / evaluate.py:121-163.
+        """Run n_episodes deterministic episodes (mean action) BATCHED IN
+        LOCKSTEP, mirroring SB3 EvalCallback / evaluate.py:121-163. The
+        lockstep runner keeps vision renders on the scalar tick cadence
+        (a per-episode while_loop under vmap renders every step); episode
+        statistics are unchanged — see eval/evaluate.py module doc."""
+        from openballbot_rl_tpu.eval.evaluate import lockstep_episodes
 
-        NOTE (vision envs): under vmap the per-env render cadence lowers to
-        a select that renders every step (~frame_skip x the training path's
-        render cost). Acceptable at n_episodes<=8; a lockstep batched eval
-        is the optimization if it ever matters."""
-        def one_episode(key):
-            state, obs = self.env.reset(bank, key)
+        def act(obs):
+            mean, _, _ = self.network.apply(params, obs)
+            return jnp.clip(mean, -1.0, 1.0)
 
-            def body(carry):
-                state, obs, ret, length, done = carry
-                mean, _, _ = self.network.apply(params, obs)
-                state, obs, reward, d, info = self.env.step(
-                    bank, state, jnp.clip(mean, -1, 1))
-                ret = ret + reward
-                length = length + 1
-                return state, obs, ret, length, d
-
-            def cond(carry):
-                _, _, _, length, done = carry
-                return jnp.logical_and(~done, length < max_steps)
-
-            _, _, ret, length, _ = jax.lax.while_loop(
-                cond, body, (state, obs, jnp.zeros(()), jnp.zeros((), jnp.int32),
-                             jnp.array(False)))
-            return ret, length
-
-        rets, lens = jax.vmap(one_episode)(jax.random.split(key, n_episodes))
+        rets, _, lens = lockstep_episodes(self.env, act, n_episodes,
+                                          max_steps, bank, key)
         return dict(mean_reward=rets.mean(), std_reward=rets.std(),
                     mean_ep_length=lens.mean().astype(jnp.float32),
                     survival_rate=(lens >= max_steps).mean(),

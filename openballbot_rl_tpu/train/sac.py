@@ -326,28 +326,17 @@ class SAC:
     @partial(jax.jit, static_argnums=(0, 3, 4))
     def evaluate(self, params, bank: TerrainBank, n_episodes: int,
                  max_steps: int, key) -> Dict[str, jnp.ndarray]:
+        """Lockstep batched eval (see eval/evaluate.py module doc)."""
+        from openballbot_rl_tpu.eval.evaluate import lockstep_episodes
+
         actor_params = params["actor"] if "actor" in params else params
 
-        def one_episode(key):
-            state, obs = self.env.reset(bank, key)
+        def act(obs):
+            mean, _ = self.actor.apply(actor_params, obs)
+            return jnp.tanh(mean)
 
-            def body(carry):
-                state, obs, ret, length, done = carry
-                mean, _ = self.actor.apply(actor_params, obs)
-                state, obs, reward, d, info = self.env.step(
-                    bank, state, jnp.tanh(mean))
-                return state, obs, ret + reward, length + 1, d
-
-            def cond(carry):
-                _, _, _, length, done = carry
-                return jnp.logical_and(~done, length < max_steps)
-
-            _, _, ret, length, _ = jax.lax.while_loop(
-                cond, body, (state, obs, jnp.zeros(()),
-                             jnp.zeros((), jnp.int32), jnp.array(False)))
-            return ret, length
-
-        rets, lens = jax.vmap(one_episode)(jax.random.split(key, n_episodes))
+        rets, _, lens = lockstep_episodes(self.env, act, n_episodes,
+                                          max_steps, bank, key)
         return dict(mean_reward=rets.mean(), std_reward=rets.std(),
                     mean_ep_length=lens.mean().astype(jnp.float32),
                     survival_rate=(lens >= max_steps).mean(),

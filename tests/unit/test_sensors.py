@@ -274,3 +274,91 @@ def test_patch_render_correct_at_world_border():
         assert d.mean() < 0.03, f"mean {d.mean():.4f} at {pos}"
         assert np.quantile(d, 0.95) < 0.08, \
             f"p95 {np.quantile(d, 0.95):.4f} at {pos}"
+
+
+class TestCamTiles:
+    """Aligned camera-tile renderer supply (hfield CAM_TILE_* +
+    DepthCameras.render_tiles): one row gather replaces render_patch's
+    per-env dynamic_slice; values must not move."""
+
+    @pytest.fixture(scope="class")
+    def terrain(self):
+        from openballbot_rl_tpu.core.factories import create_terrain
+
+        gen = create_terrain({"type": "perlin",
+                              "config": {"scale": 25.0, "octaves": 4,
+                                         "persistence": 0.2,
+                                         "lacunarity": 2.0}})
+        return jnp.asarray(gen(293, seed=17), jnp.float32).reshape(1, 293, 293)
+
+    @pytest.fixture(scope="class")
+    def cam_tiles(self, terrain):
+        return hf.make_tiles(terrain, hf.CAM_TILE_SIZE, hf.CAM_TILE_STRIDE,
+                             dtype=jnp.bfloat16)
+
+    def _poses(self):
+        # interior, off-center, world border, beyond-border excursion
+        return [((0.31, -0.17), 0.0), ((-2.92, 1.64), 0.1222),
+                ((4.6, -4.6), 0.0), ((0.0, 4.97), 0.05)]
+
+    def test_bitwise_vs_render_patch_pow2_zscale(self, terrain, cam_tiles):
+        """zscale=2 (the shipped value): bf16 scaling commutes exactly, so
+        tiles must reproduce render_patch BIT FOR BIT. render_patch's own
+        patch is f32 but downcast to bf16 before any arithmetic, so both
+        paths feed identical bf16 heights through identical contractions."""
+        n = terrain.shape[-1]
+        T = hf.tiles_per_dim(n, hf.CAM_TILE_SIZE, hf.CAM_TILE_STRIDE)
+        cams = DepthCameras()
+        off = float(hf.spawn_height_offset(terrain[0], 2.0))
+        for shift, tilt in self._poses():
+            q = jnp.array([np.cos(tilt / 2), np.sin(tilt / 2), 0.0, 0.0],
+                          jnp.float32)
+            bp = jnp.array([shift[0], shift[1], 0.35 + off], jnp.float32)
+            ball = bp + jnp.array([0.0, 0.0, -0.25], jnp.float32)
+            a = np.asarray(cams.render_patch(terrain, jnp.asarray(0), 5.0,
+                                             2.0, bp, q, ball))
+            b = np.asarray(cams.render_tiles(cam_tiles, jnp.asarray(0), T, n,
+                                             5.0, 2.0, bp, q, ball))
+            np.testing.assert_array_equal(a, b, err_msg=f"at {shift}")
+
+    def test_tolerance_vs_render_patch_any_zscale(self, terrain, cam_tiles):
+        """Non-power-of-two zscale: scale-then-round vs round-then-scale
+        differ by <= 1 ulp(bf16) in heights (~0.4%); depth differences stay
+        far under the fast path's own tolerance vs the exact marcher."""
+        n = terrain.shape[-1]
+        T = hf.tiles_per_dim(n, hf.CAM_TILE_SIZE, hf.CAM_TILE_STRIDE)
+        cams = DepthCameras()
+        off = float(hf.spawn_height_offset(terrain[0], 1.7))
+        for shift, tilt in self._poses():
+            q = jnp.array([np.cos(tilt / 2), np.sin(tilt / 2), 0.0, 0.0],
+                          jnp.float32)
+            bp = jnp.array([shift[0], shift[1], 0.35 + off], jnp.float32)
+            ball = bp + jnp.array([0.0, 0.0, -0.25], jnp.float32)
+            a = np.asarray(cams.render_patch(terrain, jnp.asarray(0), 5.0,
+                                             1.7, bp, q, ball))
+            b = np.asarray(cams.render_tiles(cam_tiles, jnp.asarray(0), T, n,
+                                             5.0, 1.7, bp, q, ball))
+            d = np.abs(a - b)
+            assert d.mean() < 0.002, f"mean {d.mean():.5f} at {shift}"
+            assert np.quantile(d, 0.99) < 0.02, \
+                f"p99 {np.quantile(d, 0.99):.4f} at {shift}"
+
+    def test_cam_tile_select_containment(self):
+        """Every recentred patch row clip(crow - P//2 + v, 0, n-1) must land
+        inside the selected tile for any camera grid coordinate (including
+        off-world excursions) — the condition under which render_tiles'
+        guard clip is a no-op and parity with render_patch holds."""
+        n = 293
+        P = DepthCameras().cfg.patch_n
+        Pc, S = hf.CAM_TILE_SIZE, hf.CAM_TILE_STRIDE
+        T = hf.tiles_per_dim(n, Pc, S)
+        assert Pc >= P + 1 + S, "camera tile too small for the patch window"
+        crows = jnp.arange(-40, n + 40, dtype=jnp.int32)
+        _, a0, _ = jax.vmap(
+            lambda r: hf.cam_tile_select(jnp.asarray(0), r, r, T))(crows)
+        a0 = np.asarray(a0)
+        rows = np.asarray(crows)[:, None] - P // 2 + np.arange(P)[None, :]
+        rows = np.clip(rows, 0, n - 1)
+        local = rows - a0[:, None]
+        assert (local >= 0).all(), "patch row below tile origin"
+        assert (local <= Pc - 1).all(), "patch row beyond tile end"

@@ -121,3 +121,44 @@ class TestRGBDMode:
         state, obs, _, _, info = step(state)
         assert obs["rgbd_0"].shape == (4, 16, 16)
         assert info["terminal_obs"]["rgbd_0"].shape == (4, 16, 16)
+
+
+class TestCamTileBank:
+    def test_cam_tiles_obs_bitwise_vs_patch_path(self, env):
+        """A bank with cam_tiles must produce bit-identical trajectories to
+        the render_patch path at the shipped zscale=2 (the render feeds the
+        policy only through obs; physics is untouched either way)."""
+        from openballbot_rl_tpu.core.factories import create_terrain
+        from openballbot_rl_tpu.envs import add_cam_tiles, make_terrain_bank
+
+        gen = create_terrain({"type": "perlin",
+                              "config": {"scale": 25.0, "octaves": 4,
+                                         "persistence": 0.2,
+                                         "lacunarity": 2.0}})
+        bank_plain = make_terrain_bank(gen, 293, 2.0, jax.random.PRNGKey(3),
+                                       2)
+        bank_tiles = add_cam_tiles(bank_plain)
+        assert bank_tiles.cam_tiles is not None
+        assert bank_tiles.cam_tiles.dtype == jnp.bfloat16
+
+        B, T = 3, 14
+        outs = {}
+        for name, bank in (("tiles", bank_tiles), ("plain", bank_plain)):
+            keys = jax.random.split(jax.random.PRNGKey(5), B)
+            states, obs0 = jax.jit(env.batch_reset)(bank, keys)
+
+            @jax.jit
+            def roll(states):
+                def f(carry, t):
+                    states, key = carry
+                    key, k = jax.random.split(key)
+                    a = jax.random.uniform(k, (B, 3), minval=-1, maxval=1)
+                    states, obs, r, d, _ = env.batch_step(bank, states, a)
+                    return (states, key), (obs["rgbd_0"], r)
+                _, ys = jax.lax.scan(f, (states, jax.random.PRNGKey(6)),
+                                     jnp.arange(T))
+                return ys
+            img0, rew = jax.tree.map(np.asarray, roll(states))
+            outs[name] = (np.asarray(obs0["rgbd_0"]), img0, rew)
+        for va, vb in zip(outs["tiles"], outs["plain"]):
+            np.testing.assert_array_equal(va, vb)
