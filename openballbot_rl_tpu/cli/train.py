@@ -486,6 +486,12 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
         }
         if cur_param:
             row["train/curriculum_value"] = cur_value
+        if "alpha" in metrics:
+            # SAC: SB3-style off-policy diagnostics (round-4 bimodal-seed
+            # study needs entropy temperature + Q trajectories per run)
+            row["train/ent_coef"] = float(metrics["alpha"])
+            row["train/q_value"] = float(metrics["q_value"])
+            row["train/buffer_size"] = float(metrics["buffer_size"])
 
         if gs >= next_eval:
             next_eval = gs + eval_freq

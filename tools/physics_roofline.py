@@ -32,12 +32,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed_rollout(jax, fn, carry, T, reps=5):
-    out = fn(carry)
-    jax.block_until_ready(out[0])
+    """Forced-execution timing (round 4): block_until_ready through the
+    axon relay does not reliably force execution (bench.py module doc) —
+    fetch a scalar that the whole scan feeds into, every rep, inside the
+    timed region."""
+    import jax.numpy as jnp
+
+    def force(out):
+        leaves = jax.tree.leaves(out)
+        return float(jax.device_get(sum(jnp.sum(l.astype(jnp.float32))
+                                        for l in leaves)))
+
+    force(fn(carry))
     t0 = time.time()
     for _ in range(reps):
-        out = fn(carry)
-    jax.block_until_ready(out[0])
+        force(fn(carry))
     return (time.time() - t0) / reps
 
 
