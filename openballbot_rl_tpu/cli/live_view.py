@@ -114,31 +114,70 @@ def main(model_path: str = "", config=None, terrain: str = "",
         return render_scene(sampler, phys.base_pos, phys.base_quat,
                             phys.ball_pos, height=height, width=width)
 
+    @jax.jit
+    def perturb(state, k):
+        """Kick the base angular velocity (interactive disturbance-rejection
+        probe — the closest counterpart of shoving the robot in a GUI)."""
+        kick = jax.random.uniform(k, (3,), minval=-0.4, maxval=0.4)
+        if hasattr(state, "core"):
+            phys = state.core.phys
+            return state.replace(core=state.core.replace(
+                phys=phys.replace(base_angvel=phys.base_angvel + kick)))
+        return state.replace(phys=state.phys.replace(
+            base_angvel=state.phys.base_angvel + kick))
+
     viewer = None
+    stdin_keys = None
     if not ansi:
         viewer = LiveViewer(host=host, port=port)
         if verbose:
-            print(f"live view: http://localhost:{viewer.port}  (Ctrl-C stops)")
+            print(f"live view: http://localhost:{viewer.port}  (Ctrl-C "
+                  "stops; in-page keys: space=pause r=reset p=perturb "
+                  "q=quit)")
+    elif sys.stdin.isatty():
+        stdin_keys = _RawStdin()
+
+    def pending_commands():
+        cmds = viewer.poll_commands() if viewer is not None else []
+        if stdin_keys is not None:
+            cmds += stdin_keys.poll()
+        return cmds
 
     ep = 0
     t_start = time.time()
+    paused = False
+    quit_now = False
     try:
-        while episodes <= 0 or ep < episodes:
+        while not quit_now and (episodes <= 0 or ep < episodes):
             key, k = jax.random.split(key)
             state, obs = reset(k)
             ret, steps, done = 0.0, 0, False
             while not done and steps < env.params.max_ep_steps:
                 t0 = time.time()
-                state, obs, key, r, done_flag = advance(state, obs, key)
-                ret += float(r)
-                steps += chunk
-                done = bool(done_flag)
+                for c in pending_commands():
+                    if c == " ":
+                        paused = not paused
+                    elif c == "r":            # reset mid-episode, like the
+                        done = True           # reference viewer's reset
+                    elif c == "p":
+                        key, kp = jax.random.split(key)
+                        state = perturb(state, kp)
+                    elif c == "q":
+                        quit_now = True
+                if done or quit_now:
+                    break
+                if not paused:
+                    state, obs, key, r, done_flag = advance(state, obs, key)
+                    ret += float(r)
+                    steps += chunk
+                    done = bool(done_flag)
                 frame = np.asarray(frame_of(state))
                 tele = (f"episode {ep}  t={steps / 500.0:6.2f}s  "
-                        f"return {ret:+8.3f}")
+                        f"return {ret:+8.3f}"
+                        + ("  [PAUSED]" if paused else ""))
                 if ansi:
                     sys.stdout.write("\x1b[H\x1b[2J" + ansi_frame(frame)
-                                     + "\n" + tele + "\n")
+                                     + "\n" + tele + "\r\n")
                     sys.stdout.flush()
                 else:
                     viewer.push(frame, tele)
@@ -158,7 +197,35 @@ def main(model_path: str = "", config=None, terrain: str = "",
     finally:
         if viewer is not None:
             viewer.close()
+        if stdin_keys is not None:
+            stdin_keys.restore()
     return 0
+
+
+class _RawStdin:
+    """Nonblocking single-key reads for the ANSI terminal view (space/r/p/q
+    work there too). Restores the tty on exit."""
+
+    def __init__(self):
+        import termios
+        import tty
+
+        self._fd = sys.stdin.fileno()
+        self._saved = termios.tcgetattr(self._fd)
+        tty.setcbreak(self._fd)
+
+    def poll(self) -> list:
+        import select
+
+        keys = []
+        while select.select([sys.stdin], [], [], 0)[0]:
+            keys.append(sys.stdin.read(1))
+        return keys
+
+    def restore(self) -> None:
+        import termios
+
+        termios.tcsetattr(self._fd, termios.TCSADRAIN, self._saved)
 
 
 def cli_main(argv=None) -> int:

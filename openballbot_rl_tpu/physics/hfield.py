@@ -231,16 +231,21 @@ def make_patch_sampler(patch: jnp.ndarray, patch_ij: jnp.ndarray,
     B=32768 on v5e).
     """
     P = patch.shape[-1]
-    ci = patch_ij[0].astype(jnp.float32)
-    cj = patch_ij[1].astype(jnp.float32)
-    cols = jnp.arange(P, dtype=jnp.int32)
+    cells = jnp.arange(P * P, dtype=jnp.int32)
+    patch_flat = patch.reshape(-1)
 
+    # FLAT-index masks (round 4): the tile supply gathers each env's patch
+    # as one (P*P,) row; tapping it through (P, P)-shaped masks forced XLA
+    # to re-layout the gather output ((B, 1024) {1,0} -> {0,1} copy, 0.39
+    # ms/step at B=32768) and run the selects on (B, 32, 32) tiles.
+    # Comparing the flat cell index ii*P + jj against one iota keeps every
+    # tap on the gather's native (B, P*P) layout — same single-nonzero
+    # mask, same bits (one f32 passes through `where` untouched; adding
+    # zeros is exact in any order).
     def tap4(i0, i1, j0, j1):
         def corner(ii, jj):
-            mi = ii[..., None] == cols                    # (..., P)
-            mj = jj[..., None] == cols
-            m = mi[..., :, None] & mj[..., None, :]       # (..., P, P)
-            return jnp.sum(jnp.where(m, patch, 0.0), axis=(-2, -1))
+            m = (ii * P + jj)[..., None] == cells         # (..., P*P)
+            return jnp.sum(jnp.where(m, patch_flat, 0.0), axis=-1)
 
         return (corner(i0, j0), corner(i0, j1),
                 corner(i1, j0), corner(i1, j1))

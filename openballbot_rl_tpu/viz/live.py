@@ -25,11 +25,18 @@ _INDEX_HTML = b"""<!doctype html>
 <html><head><title>openballbot-rl-tpu live</title>
 <style>body{background:#111;color:#ddd;font-family:monospace;text-align:center}
 img{image-rendering:pixelated;width:640px;margin-top:1em;border:1px solid #444}
+.keys{color:#888;font-size:0.9em}
 </style></head>
 <body><h3>openballbot-rl-tpu &mdash; live rollout</h3>
 <img src="/stream"><p id="s"></p>
+<p class="keys">[space] pause/resume &nbsp; [r] reset episode &nbsp;
+[p] perturb &nbsp; [q] quit</p>
 <script>setInterval(async()=>{const r=await fetch('/telemetry');
-document.getElementById('s').textContent=await r.text();},500)</script>
+document.getElementById('s').textContent=await r.text();},500);
+document.addEventListener('keydown',e=>{
+  if([' ','r','p','q'].includes(e.key)){e.preventDefault();
+    fetch('/cmd?k='+encodeURIComponent(e.key));}});
+</script>
 </body></html>"""
 
 
@@ -44,6 +51,7 @@ class LiveViewer:
         self._seq = 0
         self._telemetry = ""
         self._quality = int(quality)
+        self._commands: list = []       # keys from the browser, FIFO
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -62,6 +70,20 @@ class LiveViewer:
                     self.send_header("Content-Type", "text/plain")
                     self.end_headers()
                     self.wfile.write(body)
+                elif self.path.startswith("/cmd"):
+                    # interactive control channel (reference viewer parity:
+                    # pause/reset the env detects mid-episode,
+                    # ballbot_env.py:347-357); the rollout loop drains the
+                    # queue via poll_commands()
+                    from urllib.parse import parse_qs, urlparse
+
+                    q = parse_qs(urlparse(self.path).query)
+                    k = (q.get("k") or [""])[0]
+                    if k:
+                        with viewer._lock:
+                            viewer._commands.append(k)
+                    self.send_response(204)
+                    self.end_headers()
                 elif self.path == "/frame.jpg":
                     frame = viewer._latest(timeout=5.0)
                     if frame is None:
@@ -117,6 +139,12 @@ class LiveViewer:
             if telemetry:
                 self._telemetry = telemetry
             self._lock.notify_all()
+
+    def poll_commands(self) -> list:
+        """Drain pending browser key commands (producer side)."""
+        with self._lock:
+            cmds, self._commands = self._commands, []
+        return cmds
 
     def close(self) -> None:
         with self._lock:

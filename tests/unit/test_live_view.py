@@ -64,3 +64,69 @@ def test_ballbot_live_headless_run():
         port=0, fps=60.0, height=48, width=64, episodes=1,
         verbose=False, max_seconds=30.0)
     assert rc == 0
+
+
+def test_liveviewer_command_channel():
+    """Round-4 interactivity: /cmd?k=X queues keys; poll_commands drains
+    FIFO (closes the reference's viewer pause/reset capability delta)."""
+    import urllib.parse
+
+    from openballbot_rl_tpu.viz.live import LiveViewer
+
+    v = LiveViewer(port=0)
+    try:
+        for k in (" ", "r", "p"):
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{v.port}/cmd?k={urllib.parse.quote(k)}",
+                timeout=5)
+        assert v.poll_commands() == [" ", "r", "p"]
+        assert v.poll_commands() == []
+    finally:
+        v.close()
+
+
+def test_ballbot_live_commands_drive_loop(monkeypatch):
+    """space pauses (sim time freezes), r resets the episode, q quits."""
+    import threading
+    import time as _time
+    import urllib.parse
+
+    from openballbot_rl_tpu.cli.live_view import main
+    from openballbot_rl_tpu.viz import live as live_mod
+
+    captured = {}
+    orig_init = live_mod.LiveViewer.__init__
+
+    def spy_init(self, *a, **kw):
+        orig_init(self, *a, **kw)
+        captured["viewer"] = self
+
+    monkeypatch.setattr(live_mod.LiveViewer, "__init__", spy_init)
+
+    def driver():
+        while "viewer" not in captured:
+            _time.sleep(0.05)
+        v = captured["viewer"]
+        send = lambda k: urllib.request.urlopen(
+            f"http://127.0.0.1:{v.port}/cmd?k={urllib.parse.quote(k)}",
+            timeout=5)
+        _time.sleep(1.5)
+        send(" ")           # pause
+        _time.sleep(0.8)
+        send(" ")           # resume
+        send("p")           # perturb
+        _time.sleep(0.5)
+        send("r")           # reset episode
+        _time.sleep(0.5)
+        send("q")           # quit
+
+    t = threading.Thread(target=driver, daemon=True)
+    t.start()
+    rc = main(config={"problem": {
+        "terrain": {"type": "flat", "config": {}},
+        "reward": {"type": "directional",
+                   "config": {"target_direction": [0.0, 1.0]}}}},
+        port=0, fps=20.0, height=48, width=64, episodes=0,
+        verbose=False, max_seconds=30.0)
+    assert rc == 0
+    t.join(timeout=5)

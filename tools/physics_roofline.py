@@ -234,21 +234,30 @@ def main() -> int:
     x0 = jnp.ones((B,), jnp.float32)
     report(f"elementwise_{OPS}ops", timed_rollout(jax, elementwise, x0, T))
 
-    full_sps = results["full"]
-    flat_sps = results["physics_flat_plane"]
-    realp_sps = results["physics_real_terrain"]
+    # Post-tile decomposition (round 4): the production env samples terrain
+    # through the one-hot patch path, so the meaningful split is
+    #   full = one-hot-patch physics + env machinery
+    #        = flat-plane physics + tap overhead + env machinery
+    ms = lambda name: B / results[name] * 1e3      # ms per batched step
+    full_ms = ms("full")
+    patch_ms = ms("physics_patch_sampler")
+    flat_ms = ms("physics_flat_plane")
+    env_extra_ms = full_ms - patch_ms
+    tap_ms = patch_ms - flat_ms
     print(json.dumps({
         "summary": {
             "B": B, "T": T,
-            "full_env_steps_per_sec": round(full_sps),
-            "physics_real": round(realp_sps),
-            "physics_flat_plane_bound": round(flat_sps),
-            "terrain_gather_share_of_physics":
-                round(1.0 - realp_sps / flat_sps, 3)
-                if flat_sps > realp_sps else 0.0,
-            "vmem_kernel_best_case_env_steps":
-                round(1.0 / (1.0 / full_sps - (1.0 / realp_sps
-                                               - 1.0 / flat_sps))),
+            "full_env_steps_per_sec": round(results["full"]),
+            "physics_flat_plane_bound": round(results["physics_flat_plane"]),
+            "full_ms": round(full_ms, 3),
+            "onehot_tap_overhead_ms": round(tap_ms, 3),
+            "env_machinery_ms": round(env_extra_ms, 3),
+            "full_if_taps_free_steps": round(B / (full_ms - tap_ms) * 1e3),
+            "full_if_env_machinery_free_steps":
+                round(B / (full_ms - env_extra_ms) * 1e3),
+            "direct_sampler_gather_share_of_physics":
+                round(1.0 - results["physics_real_terrain"]
+                      / results["physics_flat_plane"], 3),
         }}))
     return 0
 
