@@ -172,3 +172,42 @@ def test_sharded_checkpoint_save_restore_roundtrip(setup, tmp_path):
     got_obs = jax.tree.leaves(back["env"])[0]
     assert not got_obs.sharding.is_fully_replicated
     assert back["params"]["w"].sharding.is_fully_replicated
+
+
+def test_sharded_vision_step_with_cam_tiles_matches_single_device():
+    """Round 4: the vision env's aligned camera-tile render (bank.cam_tiles
+    row gather) must shard over the env axis like everything else — tiles
+    replicate, per-env gathers stay local to each shard."""
+    from openballbot_rl_tpu.envs import add_cam_tiles
+    from openballbot_rl_tpu.envs.vision import VisionBallbotEnv, VisionParams
+
+    env = VisionBallbotEnv(EnvParams(max_ep_steps=32),
+                           VisionParams(height=16, width=16, frame_skip=2))
+    gen = create_terrain({"type": "perlin",
+                          "config": {"scale": 25.0, "octaves": 2,
+                                     "persistence": 0.2, "lacunarity": 2.0}})
+    bank = add_cam_tiles(make_terrain_bank(gen, env.model.hfield_n, 2.0,
+                                           jax.random.PRNGKey(0), 2))
+    mesh = make_mesh(8)
+    B = 16
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    states, obs = jax.jit(env.batch_reset)(bank, keys)
+    actions = jax.random.uniform(jax.random.PRNGKey(2), (B, 3),
+                                 minval=-1, maxval=1)
+
+    ref = jax.jit(env.batch_step)(bank, states, actions)
+    # step twice so the frame_skip=2 cadence executes a real render
+    ref2 = jax.jit(env.batch_step)(bank, ref[0], actions)
+
+    with mesh:
+        sh_states = shard_env_axis(states, mesh)
+        sh_bank = replicate(bank, mesh)
+        sh_actions = jax.device_put(actions, env_sharding(mesh))
+        out = jax.jit(env.batch_step)(sh_bank, sh_states, sh_actions)
+        out2 = jax.jit(env.batch_step)(sh_bank, out[0], sh_actions)
+        assert len(out2[2].sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(out2[1]["rgbd_0"]),
+                                   np.asarray(ref2[1]["rgbd_0"]),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out2[2]), np.asarray(ref2[2]),
+                                   rtol=1e-6, atol=1e-6)
