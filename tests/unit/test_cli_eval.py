@@ -150,8 +150,8 @@ class TestLockstepEval:
         bank = self._bank()
 
         def act1(obs):      # reads the image so renders matter
-            img = obs["rgbd_0"]
-            g = jnp.mean(img, axis=tuple(range(img.ndim - 1)))
+            img = obs["rgbd_0"]           # (..., C, H, W)
+            g = jnp.mean(img, axis=(-1, -2, -3))       # per-env scalar
             return jnp.tanh(obs["orientation"] + g[..., None] * 0.1
                             + 0.0 * obs["relative_image_timestamp"])
 
