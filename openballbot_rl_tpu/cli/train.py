@@ -373,6 +373,7 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
 
     iteration = 0
     last_row = {}
+    retired_bank = None
     last_ep_rew = float("nan")
     last_ep_len = float("nan")
 
@@ -437,6 +438,12 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
                     int(rs.global_step) / cfg.total_timesteps, cur_value,
                     last_ep_len, env.params.max_ep_steps)
                 cur_last_decision = iteration
+            # retire the outgoing bank's device buffers once the iteration
+            # that last used it has been fetched (below): with tile + camera
+            # tile banks a vision curriculum swaps ~500 MB every regen, and
+            # leaving ~190 retired banks to relay-side GC exhausted HBM at
+            # ~120M steps in the round-4 vision seed study
+            retired_bank = bank
             if prefetch is not None:
                 pf_value, k_cur, fut = prefetch
                 prefetch = None
@@ -463,6 +470,18 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
         gs_pred += steps_per_iter
         gs = int(rs.global_step)
         fps = watch.fps(gs)
+        if retired_bank is not None:
+            # the int(global_step) fetch above forced this iteration — and
+            # everything queued before it — to completion, so the retired
+            # bank has no in-flight consumers; free its HBM now instead of
+            # waiting on relay-side GC
+            for leaf in jax.tree.leaves(retired_bank):
+                try:
+                    if not leaf.is_deleted():
+                        leaf.delete()
+                except Exception:
+                    pass
+            retired_bank = None
 
         # SB3-style ep_info_buffer: keep the last finished-episode stats on
         # iterations where no episode ended (instead of printing 0.00)
