@@ -90,26 +90,57 @@ def _make_rollout(jax, jnp, env, net, sample_action, T):
     EVERY final obs leaf — the policy consumes the obs (vision features
     included), so fetching the checksum forces the full physics + render +
     encoder chain; nothing in the step graph is dead code w.r.t. it.
+
+    Vision envs run through blocked_vision_scan with the render cadence
+    resolved statically (jitted per tick phase): the dynamic render cond
+    costs more per step than the render itself on TPU (performance.md).
     """
-    @jax.jit
-    def rollout(params, bank, states, obs, key):
-        def f(carry, _):
+    import functools
+
+    is_vision = hasattr(env, "vp")
+
+    @functools.partial(jax.jit, static_argnums=5)
+    def rollout(params, bank, states, obs, key, phase=0):
+        def f(carry, do_render):
             states, obs, key = carry
             key, k = jax.random.split(key)
             mean, log_std, _ = net.apply(params, obs)
             actions = jnp.clip(sample_action(k, mean, log_std), -1, 1)
-            states, obs, reward, done, _ = env.batch_step(bank, states, actions)
+            if is_vision:
+                states, obs, reward, done, _ = env.batch_step(
+                    bank, states, actions, do_render)
+            else:
+                states, obs, reward, done, _ = env.batch_step(bank, states,
+                                                              actions)
             return (states, obs, key), (reward.mean(), done.sum())
-        (states, obs, key), (rew, dones) = jax.lax.scan(
-            f, (states, obs, key), None, length=T)
+
+        if is_vision and phase is not None:
+            from openballbot_rl_tpu.envs.vision import blocked_vision_scan
+            (states_, obs_, key_), (rew, dones) = blocked_vision_scan(
+                env, phase, T, f, (states, obs, key))
+        else:
+            (states_, obs_, key_), (rew, dones) = jax.lax.scan(
+                lambda c, _: f(c, None), (states, obs, key), None, length=T)
         rmean, dsum = rew.mean(), dones.sum()
         checksum = rmean + dsum.astype(jnp.float32)
-        for leaf in jax.tree.leaves(obs):
+        for leaf in jax.tree.leaves(obs_):
             checksum = checksum + jnp.sum(
                 leaf.reshape(-1)[:64].astype(jnp.float32))
-        return states, obs, rmean, dsum, checksum
+        return states_, obs_, rmean, dsum, checksum
 
-    return rollout
+    if not is_vision:
+        return rollout
+
+    # NOTE: the blocked static-schedule rollout (phase=int) measured
+    # SLIGHTLY SLOWER than the dynamic cond on the chip (4.34 vs 3.92
+    # ms/step at B=1024) — the conditional's apparent per-step cost in the
+    # device trace was a parent/child double-count, not real overhead.
+    # Keep the dynamic path for the headline; the static machinery stays
+    # available (envs/vision.py blocked_vision_scan) and bit-tested.
+    def rollout_dynamic(params, bank, states, obs, key):
+        return rollout(params, bank, states, obs, key, None)
+
+    return rollout_dynamic
 
 
 def _timed_reps(jax, rollout, params, bank, states, obs, key, reps):
@@ -219,6 +250,12 @@ def _bench_vision(jax, jnp, bank):
     env, _ = make_env_from_config(cfg)
     from openballbot_rl_tpu.envs import add_cam_tiles
     bank = add_cam_tiles(bank)
+    # round T UP to a cadence multiple so the static render schedule's
+    # phase is identical every rep — otherwise each rep compiles a new
+    # phase of the blocked rollout (3 compiles x ~90 s inside the timed
+    # region, which is what an un-rounded T measures instead of stepping)
+    fs = env.vp.frame_skip
+    T = -(-T // fs) * fs
 
     net = ActorCritic(use_batchnorm=False)
     keys = jax.random.split(jax.random.PRNGKey(11), B)

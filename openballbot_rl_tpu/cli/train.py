@@ -465,6 +465,10 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
                     last_ep_len, env.params.max_ep_steps)
                 key, k_cur = jax.random.split(key)
                 prefetch = (nv, k_cur, _submit_prefetch(nv, k_cur))
+        # (A static render schedule for the vision rollout exists —
+        # PPO.train_iteration(phase=...) + envs/vision.blocked_vision_scan,
+        # bit-identical to the dynamic cadence — but measured neutral on
+        # this chip, so the trainer keeps the dynamic path.)
         rs, metrics = algo.train_iteration(rs, bank)
         iteration += 1
         gs_pred += steps_per_iter

@@ -179,7 +179,17 @@ class VisionBallbotEnv:
             # its staleness clock restarts with the episode (time ~ 0)
             return state.vision, jnp.minimum(state.last_render_time, core.time)
 
-        vision, lrt = jax.lax.cond(do_render, render, keep, None)
+        if isinstance(do_render, bool):
+            # STATIC cadence (round 4): callers that know the render
+            # schedule at trace time (blocked rollouts — see
+            # rollout-profiling note in docs/guides/performance.md) skip
+            # the lax.cond entirely. On TPU the dynamic conditional costs
+            # ~3.4 ms per batched step at B=1024 EVEN WHEN THE KEEP BRANCH
+            # RUNS — more than the render itself — so static structure is
+            # what makes the vision rollout fast, not branch skipping.
+            vision, lrt = render(None) if do_render else keep(None)
+        else:
+            vision, lrt = jax.lax.cond(do_render, render, keep, None)
         new_state = VisionEnvState(core=core, vision=vision,
                                    last_render_time=lrt, tick=tick)
         vis_obs = self._vision_obs(vision, core.time, lrt)
@@ -201,12 +211,15 @@ class VisionBallbotEnv:
     def batch_reset(self, bank: TerrainBank, keys):
         return jax.vmap(lambda k: self.reset(bank, k))(keys)
 
-    def batch_step(self, bank: TerrainBank, states, actions):
+    def batch_step(self, bank: TerrainBank, states, actions, do_render=None):
         # lockstep cadences: env 0's ticks are the global clocks —
         # extracting them BEFORE vmap keeps do_render/do_refresh scalars,
         # so render and terrain-patch refresh stay real lax.conds
-        # (1-in-cadence cost), not per-env selects
-        do_render = (states.tick[0] + 1) % self.vp.frame_skip == 0
+        # (1-in-cadence cost), not per-env selects. Callers that know the
+        # cadence at TRACE time pass do_render as a python bool and skip
+        # the conditional entirely (blocked_vision_scan).
+        if do_render is None:
+            do_render = (states.tick[0] + 1) % self.vp.frame_skip == 0
         do_refresh = None
         if self.env.params.terrain_patch and not self.env._tiles_mode(bank):
             do_refresh = jnp.logical_or(
@@ -216,3 +229,65 @@ class VisionBallbotEnv:
         return jax.vmap(
             lambda s, a: self.step(bank, s, a, do_render, do_refresh))(
             states, actions)
+
+
+def blocked_vision_scan(env: VisionBallbotEnv, phase: int, n_steps: int,
+                        step_fn, carry):
+    """Scan n_steps of a vision rollout with the render cadence resolved at
+    TRACE time (round 4).
+
+    Why: on TPU the dynamic `lax.cond` around the render costs ~3.4 ms per
+    batched step at B=1024 EVEN WHEN THE KEEP BRANCH RUNS — ~4x the
+    no-render step itself and 2x the render (device-trace attribution,
+    docs/guides/performance.md). Because every episode's tick counter is
+    lockstep and never resets, the whole batch's render schedule is known
+    from `phase = int(tick0) % frame_skip`: structure the rollout as
+    [prefix no-render steps] + scan over [1 render step + (fs-1) no-render
+    steps] blocks + tail, each segment a lax.scan over a STATIC-do_render
+    body — no conditional anywhere. Bit-identical to scanning the dynamic
+    step (tests/unit/test_vision_env.py::TestBlockedScan).
+
+    step_fn(carry, do_render: bool) -> (carry, out) performs ONE batched
+    step (e.g. policy + env.batch_step(..., do_render=do_render)).
+    Returns (carry, outs) with outs stacked time-major like lax.scan.
+    """
+    fs = env.vp.frame_skip
+    phase = int(phase) % fs
+
+    def no_render(c, _):
+        return step_fn(c, False)
+
+    if fs == 1:
+        return jax.lax.scan(lambda c, _: step_fn(c, True), carry, None,
+                            length=n_steps)
+
+    outs = []
+    i0 = (fs - 1 - phase) % fs          # steps before the first render
+    n_pre = min(i0, n_steps)
+    if n_pre > 0:
+        carry, o = jax.lax.scan(no_render, carry, None, length=n_pre)
+        outs.append(o)
+    done = n_pre
+    n_blocks = (n_steps - done) // fs
+    if n_blocks > 0:
+        def block(c, _):
+            c, o_r = step_fn(c, True)
+            c, o_n = jax.lax.scan(no_render, c, None, length=fs - 1)
+            o = jax.tree.map(
+                lambda a, b: jnp.concatenate([a[None], b], 0), o_r, o_n)
+            return c, o
+        carry, ob = jax.lax.scan(block, carry, None, length=n_blocks)
+        outs.append(jax.tree.map(
+            lambda x: x.reshape((n_blocks * fs,) + x.shape[2:]), ob))
+        done += n_blocks * fs
+    rem = n_steps - done
+    if rem > 0:                          # tail starts on a render step
+        carry, o_r = step_fn(carry, True)
+        outs.append(jax.tree.map(lambda x: x[None], o_r))
+        if rem > 1:
+            carry, o_n = jax.lax.scan(no_render, carry, None,
+                                      length=rem - 1)
+            outs.append(o_n)
+    if len(outs) == 1:
+        return carry, outs[0]
+    return carry, jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *outs)

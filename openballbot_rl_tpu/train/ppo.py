@@ -117,26 +117,45 @@ class PPO:
                            global_step=jnp.zeros((), jnp.int32))
 
     # ---------- rollout ----------
-    def _rollout(self, rs: RunnerState, bank: TerrainBank):
+    def _rollout(self, rs: RunnerState, bank: TerrainBank, phase=None):
         cfg = self.cfg
 
-        def policy_step(carry, _):
+        def policy_step(carry, do_render):
             env_states, obs, key = carry
             key, k_act = jax.random.split(key)
             mean, log_std, value = self.network.apply(rs.params, obs)
             actions = sample_action(k_act, mean, log_std)
             logp = gaussian_log_prob(mean, log_std, actions)
-            env_states, next_obs, reward, done, info = self.env.batch_step(
-                bank, env_states, jnp.clip(actions, -1.0, 1.0))
+            if do_render is None:
+                env_states, next_obs, reward, done, info = \
+                    self.env.batch_step(bank, env_states,
+                                        jnp.clip(actions, -1.0, 1.0))
+            else:
+                env_states, next_obs, reward, done, info = \
+                    self.env.batch_step(bank, env_states,
+                                        jnp.clip(actions, -1.0, 1.0),
+                                        do_render)
             transition = dict(obs=obs, actions=actions, logp=logp,
                               value=value, reward=reward, done=done,
                               ep_return=info["episode_return"],
                               ep_len=info["step_counter"])
             return (env_states, next_obs, key), transition
 
-        (env_states, last_obs, key), traj = jax.lax.scan(
-            policy_step, (rs.env_states, rs.obs, rs.key), None,
-            length=cfg.n_steps)
+        if phase is not None and hasattr(self.env, "vp"):
+            # vision env with a trace-time render schedule: the dynamic
+            # render cond costs more per step than the render itself on
+            # TPU (envs/vision.py blocked_vision_scan). phase must equal
+            # int(env tick) % frame_skip at entry — the trainer derives it
+            # from the host step clock; semantics are bit-identical.
+            from openballbot_rl_tpu.envs.vision import blocked_vision_scan
+
+            (env_states, last_obs, key), traj = blocked_vision_scan(
+                self.env, phase, cfg.n_steps, policy_step,
+                (rs.env_states, rs.obs, rs.key))
+        else:
+            (env_states, last_obs, key), traj = jax.lax.scan(
+                lambda c, _: policy_step(c, None),
+                (rs.env_states, rs.obs, rs.key), None, length=cfg.n_steps)
         _, _, last_value = self.network.apply(rs.params, last_obs)
         return env_states, last_obs, key, traj, last_value
 
@@ -237,11 +256,18 @@ class PPO:
         return params, opt_state, key, metrics
 
     # ---------- one full iteration ----------
-    @partial(jax.jit, static_argnums=0)
-    def train_iteration(self, rs: RunnerState, bank: TerrainBank
+    @partial(jax.jit, static_argnums=(0, 3))
+    def train_iteration(self, rs: RunnerState, bank: TerrainBank,
+                        phase=None,
                         ) -> Tuple[RunnerState, Dict[str, jnp.ndarray]]:
+        """phase: None = dynamic render cadence (always correct); an int
+        (vision envs: env tick %% frame_skip at entry, from the host step
+        clock) compiles the render schedule statically — bit-identical
+        trajectories, ~GREATLY cheaper steps on TPU. At most frame_skip
+        distinct phases occur, so the jit cache stays small."""
         cfg = self.cfg
-        env_states, last_obs, key, traj, last_value = self._rollout(rs, bank)
+        env_states, last_obs, key, traj, last_value = self._rollout(
+            rs, bank, phase)
         advantages, returns = self._gae(traj, last_value)
 
         flat = lambda x: x.reshape((cfg.n_steps * cfg.num_envs,) + x.shape[2:])

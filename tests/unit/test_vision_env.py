@@ -162,3 +162,64 @@ class TestCamTileBank:
             outs[name] = (np.asarray(obs0["rgbd_0"]), img0, rew)
         for va, vb in zip(outs["tiles"], outs["plain"]):
             np.testing.assert_array_equal(va, vb)
+
+
+class TestBlockedScan:
+    def test_blocked_scan_matches_dynamic_scan_bitwise(self, env):
+        """blocked_vision_scan (static render schedule, round 4) must
+        reproduce a lax.scan over the dynamic-cadence batch_step bit for
+        bit, for every tick phase, including a non-multiple step count."""
+        from openballbot_rl_tpu.core.factories import create_terrain
+        from openballbot_rl_tpu.envs import add_cam_tiles, make_terrain_bank
+        from openballbot_rl_tpu.envs.vision import blocked_vision_scan
+
+        gen = create_terrain({"type": "perlin",
+                              "config": {"scale": 25.0, "octaves": 2,
+                                         "persistence": 0.2,
+                                         "lacunarity": 2.0}})
+        bank = add_cam_tiles(make_terrain_bank(gen, 293, 2.0,
+                                               jax.random.PRNGKey(0), 2))
+        B, T = 3, 14                    # 14 = 2 blocks + tail at fs=6
+
+        def advance(states, k):
+            """burn steps to move the tick phase off 0"""
+            a = jnp.zeros((B, 3))
+            for _ in range(k):
+                states, *_ = jax.jit(env.batch_step)(bank, states, a)
+            return states
+
+        for burn in (0, 2, 5):
+            keys = jax.random.split(jax.random.PRNGKey(4), B)
+            states0, obs0 = jax.jit(env.batch_reset)(bank, keys)
+            states0 = advance(states0, burn)
+            phase = burn % env.vp.frame_skip
+
+            def f(carry, do_render):
+                states, key = carry
+                key, k = jax.random.split(key)
+                a = jax.random.uniform(k, (B, 3), minval=-1, maxval=1)
+                if do_render is None:
+                    states, obs, r, d, _ = env.batch_step(bank, states, a)
+                else:
+                    states, obs, r, d, _ = env.batch_step(bank, states, a,
+                                                          do_render)
+                return (states, key), (obs["rgbd_0"], r,
+                                       obs["relative_image_timestamp"])
+
+            @jax.jit
+            def dyn(states0):
+                return jax.lax.scan(lambda c, _: f(c, None),
+                                    (states0, jax.random.PRNGKey(7)),
+                                    None, length=T)
+
+            @jax.jit
+            def blocked(states0):
+                return blocked_vision_scan(env, phase, T, f,
+                                           (states0, jax.random.PRNGKey(7)))
+
+            (sd, _), od = dyn(states0)
+            (sb, _), ob = blocked(states0)
+            for va, vb in zip(jax.tree.leaves((od, sd.vision, sd.tick)),
+                              jax.tree.leaves((ob, sb.vision, sb.tick))):
+                np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
+                                              err_msg=f"burn={burn}")
