@@ -91,9 +91,11 @@ def _make_rollout(jax, jnp, env, net, sample_action, T):
     included), so fetching the checksum forces the full physics + render +
     encoder chain; nothing in the step graph is dead code w.r.t. it.
 
-    Vision envs run through blocked_vision_scan with the render cadence
-    resolved statically (jitted per tick phase): the dynamic render cond
-    costs more per step than the render itself on TPU (performance.md).
+    Vision envs run the PRODUCTION dynamic-cadence path (phase=None →
+    plain lax.scan over the dynamic render cond) — that is what BENCH
+    certifies. The static blocked_vision_scan path is reachable via
+    phase=int for A/B only; it measured slightly slower on the chip
+    (see the NOTE below and performance.md).
     """
     import functools
 

@@ -31,7 +31,8 @@ def main(config, n_frames: int, out: str, model: str = "", batch: int = 64,
     key, k_bank = jax.random.split(key)
     bank = make_terrain_bank(terrain_gen, env.model.hfield_n,
                              env.params.zscale, k_bank,
-                             int(config.get("terrain_bank_size", 16)))
+                             int(config.get("terrain_bank_size", 16)),
+                             half_extent=float(env.model.hfield_half_extent))
 
     policy_fn = None
     if model:

@@ -97,7 +97,8 @@ def main(model_path: str, eval_config: dict, terrain: str = "",
     fixed_seed = (terrain_cfg.get("config", {}) or {}).get("seed")
     bank = make_terrain_bank(terrain_gen, env.model.hfield_n,
                              env.params.zscale, k_bank,
-                             max(n_test, 8), fixed_seed=fixed_seed)
+                             max(n_test, 8), fixed_seed=fixed_seed,
+                             half_extent=float(env.model.hfield_half_extent))
     res = evaluate_policy(env, net_apply, params, bank, k_eval,
                           n_episodes=n_test,
                           max_steps=env.params.max_ep_steps,

@@ -79,7 +79,8 @@ def main(model_path: str = "", config=None, terrain: str = "",
     key = jax.random.PRNGKey(seed)
     key, k_bank = jax.random.split(key)
     bank = make_terrain_bank(terrain_gen, env.model.hfield_n,
-                             env.params.zscale, k_bank, 8)
+                             env.params.zscale, k_bank, 8,
+                             half_extent=float(env.model.hfield_half_extent))
 
     # 500 Hz sim / fps frames -> control steps per displayed frame
     chunk = max(1, int(round(500.0 / fps)))

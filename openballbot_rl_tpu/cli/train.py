@@ -114,6 +114,8 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
             learning_rate=float(algo_cfg.get("learning_rate", -1)),
             normalize_advantage=bool(algo_cfg.get("normalize_advantage",
                                                   False)),
+            lr_anneal_start=float(algo_cfg.get("lr_anneal_start", -1)),
+            lr_final=float(algo_cfg.get("lr_final", 3e-5)),
             total_timesteps=total_timesteps,
         )
 
@@ -136,7 +138,8 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
     is_vision = hasattr(env, "vp")
     bank = make_terrain_bank(terrain_gen, env.model.hfield_n, env.params.zscale,
                              k_bank, bank_size, fixed_seed=fixed_seed,
-                             build_cam_tiles=is_vision)
+                             build_cam_tiles=is_vision,
+                             half_extent=float(env.model.hfield_half_extent))
 
     # terrain curriculum (capability the reference lacks): anneal one terrain
     # config parameter over training and regenerate the bank on the fly —
@@ -167,7 +170,9 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
             return make_terrain_bank(gen, env.model.hfield_n,
                                      env.params.zscale, key, bank_size,
                                      fixed_seed=fixed_seed,
-                                     build_cam_tiles=is_vision)
+                                     build_cam_tiles=is_vision,
+                                     half_extent=float(
+                                         env.model.hfield_half_extent))
 
     # Evaluation always runs on a dedicated bank at FINAL difficulty: under a
     # curriculum, evaluating on the current (easier) bank would make eval
@@ -449,8 +454,22 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
                 prefetch = None
                 # the key was already split at submission; reuse k_cur on a
                 # miss so the RNG stream is independent of hit/miss
-                bank = fut.result() if pf_value == cur_value \
-                    else bank_at(cur_value, k_cur)
+                if pf_value == cur_value:
+                    bank = fut.result()
+                else:
+                    # prefetch MISS (adaptive schedules can diverge from the
+                    # prediction): explicitly free the mispredicted bank's
+                    # ~500 MB of device buffers instead of leaving them to
+                    # the unreliable relay-side GC (ADVICE r4) — same
+                    # treatment as retired_bank below
+                    try:
+                        missed = fut.result()
+                        for leaf in jax.tree.leaves(missed):
+                            if not leaf.is_deleted():
+                                leaf.delete()
+                    except Exception:
+                        pass
+                    bank = bank_at(cur_value, k_cur)
             else:
                 key, k_cur = jax.random.split(key)
                 bank = bank_at(cur_value, k_cur)
@@ -467,8 +486,9 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
                 prefetch = (nv, k_cur, _submit_prefetch(nv, k_cur))
         # (A static render schedule for the vision rollout exists —
         # PPO.train_iteration(phase=...) + envs/vision.blocked_vision_scan,
-        # bit-identical to the dynamic cadence — but measured neutral on
-        # this chip, so the trainer keeps the dynamic path.)
+        # bit-identical to the dynamic cadence — but measured slightly
+        # SLOWER on the chip (4.34 vs 3.92 ms/step at B=1024,
+        # performance.md), so the trainer keeps the dynamic path.)
         rs, metrics = algo.train_iteration(rs, bank)
         iteration += 1
         gs_pred += steps_per_iter

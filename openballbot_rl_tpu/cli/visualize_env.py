@@ -25,7 +25,8 @@ def main(config: dict, n_episodes: int = 2, policy: str = "random",
     fixed_seed = (terrain_cfg.get("config", {}) or {}).get("seed")
     bank = make_terrain_bank(terrain_gen, env.model.hfield_n,
                              env.params.zscale, k_bank, 8,
-                             fixed_seed=fixed_seed)
+                             fixed_seed=fixed_seed,
+                             half_extent=float(env.model.hfield_half_extent))
 
     policy_fn = None
     if policy == "zero":

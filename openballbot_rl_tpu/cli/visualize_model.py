@@ -66,7 +66,8 @@ def main(model_path: str, config: dict = None, n_episodes: int = 2,
     fixed_seed = (terrain_cfg.get("config", {}) or {}).get("seed")
     bank = make_terrain_bank(terrain_gen, env.model.hfield_n,
                              env.params.zscale, k_bank, 8,
-                             fixed_seed=fixed_seed)
+                             fixed_seed=fixed_seed,
+                             half_extent=float(env.model.hfield_half_extent))
     out = out or os.path.join(os.path.dirname(os.path.abspath(model_path)),
                               "visualization.mp4")
     return visualize_episodes(env, bank, policy_fn, key, n_episodes,

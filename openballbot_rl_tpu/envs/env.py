@@ -85,6 +85,13 @@ class EnvParams:
     terrain_tiles: bool = True
     terrain_patch_size: int = 32
     terrain_patch_refresh: int = 16
+    # Tap implementation for tiles mode (round 5): "onehot" = the XLA
+    # flat-index one-hot reductions over the materialized (B, P*P) row
+    # gather; "pallas_rows" = XLA row gather + Pallas tap kernel (no HBM
+    # round-trip for the taps); "pallas_fused" = rows DMA'd HBM->VMEM
+    # inside the kernel (the gather output never exists in HBM). All three
+    # are bit-identical (ops/pallas_taps.py, test_patch_sampler).
+    terrain_taps: str = "onehot"
 
 
 @struct.dataclass
@@ -142,7 +149,8 @@ def make_terrain_bank(gen: Callable, n: int, zscale: float, key,
                       bank_size: int, fixed_seed: Optional[int] = None,
                       use_native: Optional[bool] = None,
                       build_tiles: bool = True,
-                      build_cam_tiles: bool = False) -> TerrainBank:
+                      build_cam_tiles: bool = False,
+                      half_extent: float = 5.0) -> TerrainBank:
     """Generate a bank of terrains with per-episode seed semantics.
 
     gen: a configured terrain closure (core.factories.create_terrain output).
@@ -153,6 +161,11 @@ def make_terrain_bank(gen: Callable, n: int, zscale: float, key,
     (native/libobb_terrain.so, value-parity with the JAX path) — host cores
     do the work so bank regeneration overlaps device training. None = auto:
     use it when the library is built and the terrain supports it.
+
+    half_extent: the model's hfield_half_extent in meters — used only to
+    validate the tile margin in WORLD space (ADVICE r4: a config-driven
+    half-extent must not silently change the cell size under the check).
+    Pass env.model.hfield_half_extent when building for a real env.
     """
     if fixed_seed is not None:
         seeds = jnp.full((bank_size,), int(fixed_seed), jnp.int32)
@@ -218,8 +231,9 @@ def make_terrain_bank(gen: Callable, n: int, zscale: float, key,
                                  (), 0, jnp.iinfo(jnp.int32).max)
     if build_tiles:
         # the tile margin is fixed in grid cells; fail loudly if this grid's
-        # cell size shrinks it below the physics query footprint (ADVICE r3)
-        hf.check_tile_margin(n, 5.0)
+        # cell size shrinks it below the physics query footprint (ADVICE r3;
+        # half_extent plumbed from the caller's model since ADVICE r4)
+        hf.check_tile_margin(n, half_extent)
     tiles = hf.make_tiles(heights) if build_tiles else None
     bank = TerrainBank(heights=heights, spawn_offsets=offsets, seeds=seeds,
                        version=version, tiles=tiles)
@@ -388,9 +402,17 @@ class BallbotEnv:
             flat, patch_ij = hf.tile_select(
                 state.terrain_idx, state.phys.base_pos[0],
                 state.phys.base_pos[1], n, m.hfield_half_extent, T)
-            patch = jnp.take(bank.tiles, flat, axis=0).reshape(P, P)
-            terrain = hf.make_patch_sampler(patch, patch_ij, n,
-                                            m.hfield_half_extent, p.zscale)
+            if p.terrain_taps != "onehot":
+                # round 5: gather+taps through the Pallas kernel under
+                # vmap (bit-identical; see EnvParams.terrain_taps)
+                terrain = hf.make_tile_tap_sampler(
+                    bank.tiles, flat, patch_ij, n, m.hfield_half_extent,
+                    p.zscale, impl=p.terrain_taps)
+            else:
+                patch = jnp.take(bank.tiles, flat, axis=0).reshape(P, P)
+                terrain = hf.make_patch_sampler(patch, patch_ij, n,
+                                                m.hfield_half_extent,
+                                                p.zscale)
             patch, patch_ij = state.patch, state.patch_ij   # dummies carried
             bank_version = bank.version
         elif p.terrain_patch:
@@ -564,6 +586,7 @@ def make_env_from_config(config: Dict[str, Any],
         survival_bonus=float(reward_knobs.get("survival_bonus", 0.02)),
         cvel_swap=bool(env_settings.get("cvel_swap", False)),
         zscale=zscale,
+        terrain_taps=str(env_settings.get("terrain_taps", "onehot")),
     )
     reward_fn = create_reward(reward_cfg)
     terrain_gen = create_terrain(terrain_cfg)

@@ -77,7 +77,8 @@ class BallbotGymEnv(_EnvBase):
         self._bank = make_terrain_bank(
             terrain_gen, self._env.model.hfield_n, self._env.params.zscale,
             jax.random.PRNGKey(0 if fixed_seed is None else int(fixed_seed)),
-            bank_size, fixed_seed=fixed_seed)
+            bank_size, fixed_seed=fixed_seed,
+            half_extent=float(self._env.model.hfield_half_extent))
 
         self._jit_reset = jax.jit(self._env.reset)
         self._jit_step = jax.jit(self._env.step)

@@ -180,13 +180,14 @@ class VisionBallbotEnv:
             return state.vision, jnp.minimum(state.last_render_time, core.time)
 
         if isinstance(do_render, bool):
-            # STATIC cadence (round 4): callers that know the render
-            # schedule at trace time (blocked rollouts — see
-            # rollout-profiling note in docs/guides/performance.md) skip
-            # the lax.cond entirely. On TPU the dynamic conditional costs
-            # ~3.4 ms per batched step at B=1024 EVEN WHEN THE KEEP BRANCH
-            # RUNS — more than the render itself — so static structure is
-            # what makes the vision rollout fast, not branch skipping.
+            # STATIC cadence: callers that know the render schedule at
+            # trace time (blocked_vision_scan) skip the lax.cond. Measured
+            # round 4: this is NOT faster — the dynamic cond is ~free
+            # (static 4.34 vs dynamic 3.92 ms/step at B=1024; the ~3.4 ms
+            # a device trace once attributed to the cond was a parent/child
+            # double-count — see performance.md's measurement post-mortem).
+            # Production uses the dynamic path; this branch exists for the
+            # tested static machinery and for trace-time A/B experiments.
             vision, lrt = render(None) if do_render else keep(None)
         else:
             vision, lrt = jax.lax.cond(do_render, render, keep, None)
@@ -236,16 +237,19 @@ def blocked_vision_scan(env: VisionBallbotEnv, phase: int, n_steps: int,
     """Scan n_steps of a vision rollout with the render cadence resolved at
     TRACE time (round 4).
 
-    Why: on TPU the dynamic `lax.cond` around the render costs ~3.4 ms per
-    batched step at B=1024 EVEN WHEN THE KEEP BRANCH RUNS — ~4x the
-    no-render step itself and 2x the render (device-trace attribution,
-    docs/guides/performance.md). Because every episode's tick counter is
-    lockstep and never resets, the whole batch's render schedule is known
-    from `phase = int(tick0) % frame_skip`: structure the rollout as
-    [prefix no-render steps] + scan over [1 render step + (fs-1) no-render
-    steps] blocks + tail, each segment a lax.scan over a STATIC-do_render
-    body — no conditional anywhere. Bit-identical to scanning the dynamic
-    step (tests/unit/test_vision_env.py::TestBlockedScan).
+    Status: built to test the hypothesis that the dynamic render
+    `lax.cond` was expensive; ON THE CHIP IT IS NOT — this static
+    schedule measured slightly SLOWER than the dynamic cond (4.34 vs
+    3.92 ms/step at B=1024; the ~3.4 ms a device trace attributed to the
+    cond was a parent/child double-count — performance.md post-mortem).
+    Production keeps the dynamic path; this stays as tested machinery for
+    future schedule-static optimizations. Mechanism: every episode's tick
+    counter is lockstep and never resets, so the whole batch's render
+    schedule is known from `phase = int(tick0) % frame_skip`: structure
+    the rollout as [prefix no-render steps] + scan over [1 render step +
+    (fs-1) no-render steps] blocks + tail, each segment a lax.scan over a
+    STATIC-do_render body — no conditional anywhere. Bit-identical to
+    scanning the dynamic step (tests/unit/test_vision_env.py::TestBlockedScan).
 
     step_fn(carry, do_render: bool) -> (carry, out) performs ONE batched
     step (e.g. policy + env.batch_step(..., do_render=do_render)).

@@ -280,6 +280,100 @@ def make_patch_sampler(patch: jnp.ndarray, patch_ij: jnp.ndarray,
     return sampler
 
 
+def _make_corner_taps(impl: str):
+    """Per-env corner-tap function whose VMAP rule dispatches to a batched
+    Pallas kernel (ops/pallas_taps.py).
+
+    Unbatched semantics (the custom_vmap fallback, and the bit-exactness
+    contract): taps = tiles[flat, li*P + lj] via the same flat one-hot as
+    make_patch_sampler. The vmap rule replaces the batched gather+one-hot
+    with either `patch_taps_rows` (XLA row gather + Pallas tap kernel,
+    impl="pallas_rows") or `tile_taps_fused` (rows DMA'd HBM->VMEM inside
+    the kernel, impl="pallas_fused")."""
+    import jax
+
+    from openballbot_rl_tpu.ops.pallas_taps import (
+        patch_taps_rows, tile_taps_fused)
+
+    @jax.custom_batching.custom_vmap
+    def corner_taps(tiles, flat, li0, li1, lj0, lj1):
+        P = TILE_SIZE
+        row = tiles[flat]
+        cells = jnp.arange(P * P, dtype=jnp.int32)
+
+        def corner(ii, jj):
+            m = (ii * P + jj)[..., None] == cells
+            return jnp.sum(jnp.where(m, row, 0.0), axis=-1)
+
+        return (corner(li0, lj0), corner(li0, lj1),
+                corner(li1, lj0), corner(li1, lj1))
+
+    @corner_taps.def_vmap
+    def _rule(axis_size, in_batched, tiles, flat, li0, li1, lj0, lj1):
+        assert not in_batched[0], (
+            "corner_taps: the tile bank must be closed over unbatched")
+        # normalize any extra leading dims (nested vmap) to one batch axis
+        shape = li0.shape[:-1]
+        fl = flat.reshape(-1)
+        l2 = [a.reshape(-1, a.shape[-1]) for a in (li0, li1, lj0, lj1)]
+        if impl == "pallas_fused":
+            outs = tile_taps_fused(tiles, fl, *l2)
+        else:
+            rows = jnp.take(tiles, fl, axis=0)
+            outs = patch_taps_rows(rows, *l2)
+        outs = tuple(o.reshape(shape + (6,)) for o in outs)
+        return outs, (True, True, True, True)
+
+    return corner_taps
+
+
+_CORNER_TAPS = {}
+
+
+def make_tile_tap_sampler(tiles: jnp.ndarray, flat, patch_ij: jnp.ndarray,
+                          n: int, half_extent: float, zscale,
+                          impl: str = "pallas_rows"):
+    """make_patch_sampler with the gather+taps routed through a Pallas
+    kernel under vmap (round 5 — the roofline's named fix: fuse the tile
+    gather into the tap reduction instead of materializing the (B, P*P)
+    gather output in HBM). Bit-identical to make_patch_sampler
+    (tests/unit/test_patch_sampler.py::TestPallasTapParity); interpolation
+    math below is copied verbatim."""
+    P = TILE_SIZE
+    if impl not in _CORNER_TAPS:
+        _CORNER_TAPS[impl] = _make_corner_taps(impl)
+    corner_taps = _CORNER_TAPS[impl]
+
+    def sampler(x, y):
+        gx, gy = world_to_grid(x, y, n, half_extent)
+        gx = jnp.clip(gx, 0.0, n - 1.001)          # identical to make_sampler
+        gy = jnp.clip(gy, 0.0, n - 1.001)
+        j0 = jnp.floor(gx).astype(jnp.int32)
+        i0 = jnp.floor(gy).astype(jnp.int32)
+        j1 = jnp.minimum(j0 + 1, n - 1)
+        i1 = jnp.minimum(i0 + 1, n - 1)
+        fx = gx - j0.astype(gx.dtype)
+        fy = gy - i0.astype(gy.dtype)
+
+        ci_i = patch_ij[0]
+        cj_i = patch_ij[1]
+        t00, t01, t10, t11 = corner_taps(
+            tiles, flat,
+            jnp.clip(i0 - ci_i, 0, P - 1), jnp.clip(i1 - ci_i, 0, P - 1),
+            jnp.clip(j0 - cj_i, 0, P - 1), jnp.clip(j1 - cj_i, 0, P - 1))
+
+        h01 = t00 * (1 - fx) + t01 * fx          # row i0
+        h23 = t10 * (1 - fx) + t11 * fx          # row i1
+        h = (h01 * (1 - fy) + h23 * fy) * zscale
+
+        cell = 2.0 * half_extent / max(n - 1, 1)   # n=1: one flat cell
+        dh_dx = (((t01 - t00) * (1 - fy) + (t11 - t10) * fy) * zscale) / cell
+        dh_dy = ((h23 - h01) * zscale) / cell
+        return h, dh_dx, dh_dy
+
+    return sampler
+
+
 def surface_normal(dh_dx, dh_dy):
     """Unit upward normal of the surface z = h(x, y)."""
     inv = 1.0 / jnp.sqrt(1.0 + dh_dx * dh_dx + dh_dy * dh_dy)

@@ -487,6 +487,18 @@ class DepthCameras:
         cfg = self.cfg
         P = cfg.patch_n
         Pc = hf.CAM_TILE_SIZE
+        # containment preconditions (ADVICE r4): the tile must cover the
+        # recentred patch window for any camera within S/2 of its center
+        # (performance.md proof: Pc >= P + 1 + S); without this, rows near
+        # tile boundaries silently clamp to the tile edge and depths there
+        # are wrong. Mirror render_patch's loud patch_n <= n failure too.
+        assert P + 1 + hf.CAM_TILE_STRIDE <= Pc, (
+            f"patch_n ({P}) breaks camera-tile containment: need patch_n + 1"
+            f" + CAM_TILE_STRIDE ({hf.CAM_TILE_STRIDE}) <= CAM_TILE_SIZE "
+            f"({Pc}); shrink patch_n or enlarge the camera tiles")
+        assert P <= n, (
+            f"patch_n ({P}) exceeds the terrain grid ({n}); shrink "
+            f"DepthCameraConfig.patch_n or use a larger heightfield")
         cell = 2.0 * half_extent / (n - 1)
         Wmat = _polar_resample_matrix(cell, cfg.t_max, P)
 
@@ -502,8 +514,11 @@ class DepthCameras:
 
         # recentre out of the tile: same world rows as render_patch, tile
         # origin replacing the slice origin (cam_tile_select guarantees
-        # containment; the outer clip is a proven no-op kept as a guard —
-        # an out-of-range row would make the one-hot all-zero, i.e. h=0)
+        # containment under the asserted Pc >= P + 1 + S precondition; the
+        # outer clip is a proven no-op kept as a guard — if containment DID
+        # break, it would clamp out-of-tile rows to the tile's edge row,
+        # i.e. silently wrong depths, which is why the precondition asserts
+        # loudly above)
         v = jnp.arange(P, dtype=jnp.int32)
         vc = jnp.arange(Pc, dtype=jnp.int32)
         lr = jnp.clip(jnp.clip(crow[:, None] - P // 2 + v[None, :], 0, n - 1)

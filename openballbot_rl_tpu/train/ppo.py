@@ -55,6 +55,16 @@ class PPOConfig:
     learning_rate: float = -1.0         # -1 => manual schedule
     normalize_advantage: bool = False
     total_timesteps: int = 8_000_000
+    # Post-peak LR anneal (round 5): every fixed-LR frontier study decayed
+    # 30-60% off its own peak after the curriculum finished
+    # (performance.md). With lr_anneal_start in [0, 1), the LR decays
+    # LINEARLY from `learning_rate` at that progress fraction to
+    # `lr_final` at the end of training (the reference itself decays LR —
+    # ballbot_rl/training/schedules.py:4-19; the tuned TPU configs ran
+    # fixed 3e-4). -1 = fixed LR (round-4 behavior). Only meaningful with
+    # learning_rate > 0.
+    lr_anneal_start: float = -1.0
+    lr_final: float = 3e-5
 
     @property
     def minibatches_per_epoch(self) -> int:
@@ -81,7 +91,13 @@ def make_optimizer(cfg: PPOConfig):
 
 def current_lr(cfg: PPOConfig, global_step):
     if cfg.learning_rate > 0:
-        return jnp.asarray(cfg.learning_rate, jnp.float32)
+        lr = jnp.asarray(cfg.learning_rate, jnp.float32)
+        if cfg.lr_anneal_start >= 0:
+            progress = global_step.astype(jnp.float32) / cfg.total_timesteps
+            f = jnp.clip((progress - cfg.lr_anneal_start)
+                         / max(1.0 - cfg.lr_anneal_start, 1e-8), 0.0, 1.0)
+            lr = lr * (1.0 - f) + cfg.lr_final * f
+        return lr
     progress_remaining = 1.0 - global_step.astype(jnp.float32) / cfg.total_timesteps
     return lr_schedule(progress_remaining)
 
@@ -142,11 +158,12 @@ class PPO:
             return (env_states, next_obs, key), transition
 
         if phase is not None and hasattr(self.env, "vp"):
-            # vision env with a trace-time render schedule: the dynamic
-            # render cond costs more per step than the render itself on
-            # TPU (envs/vision.py blocked_vision_scan). phase must equal
-            # int(env tick) % frame_skip at entry — the trainer derives it
-            # from the host step clock; semantics are bit-identical.
+            # vision env with a trace-time render schedule
+            # (envs/vision.py blocked_vision_scan). Measured round 4: NOT
+            # faster than the dynamic cond (4.34 vs 3.92 ms/step at
+            # B=1024) — kept as tested machinery, off by default. phase
+            # must equal int(env tick) % frame_skip at entry — the trainer
+            # derives it from the host step clock; bit-identical semantics.
             from openballbot_rl_tpu.envs.vision import blocked_vision_scan
 
             (env_states, last_obs, key), traj = blocked_vision_scan(
@@ -260,11 +277,13 @@ class PPO:
     def train_iteration(self, rs: RunnerState, bank: TerrainBank,
                         phase=None,
                         ) -> Tuple[RunnerState, Dict[str, jnp.ndarray]]:
-        """phase: None = dynamic render cadence (always correct); an int
-        (vision envs: env tick %% frame_skip at entry, from the host step
-        clock) compiles the render schedule statically — bit-identical
-        trajectories, ~GREATLY cheaper steps on TPU. At most frame_skip
-        distinct phases occur, so the jit cache stays small."""
+        """phase: None = dynamic render cadence (the production path); an
+        int (vision envs: env tick %% frame_skip at entry, from the host
+        step clock) compiles the render schedule statically —
+        bit-identical trajectories, measured slightly SLOWER on TPU
+        (4.34 vs 3.92 ms/step at B=1024, performance.md) and kept only as
+        tested machinery. At most frame_skip distinct phases occur, so
+        the jit cache stays small."""
         cfg = self.cfg
         env_states, last_obs, key, traj, last_value = self._rollout(
             rs, bank, phase)

@@ -137,6 +137,46 @@ class TestAlignedTiles:
             np.testing.assert_array_equal(va, vb)
 
 
+class TestPallasTapParity:
+    """Round 5: the Pallas tap kernels (EnvParams.terrain_taps) must
+    reproduce the XLA one-hot trajectory bit for bit — same bank, same
+    keys, 60 batched steps across tile-boundary crossings and resets."""
+
+    @pytest.mark.parametrize("impl", ["pallas_rows", "pallas_fused"])
+    def test_env_trajectory_bitwise(self, terrain, impl):
+        from openballbot_rl_tpu.envs import (
+            BallbotEnv, EnvParams, make_terrain_bank)
+
+        gen = create_terrain({"type": "perlin",
+                              "config": {"scale": 25.0, "octaves": 4,
+                                         "persistence": 0.2,
+                                         "lacunarity": 2.0}})
+        bank = make_terrain_bank(gen, 293, 2.0, jax.random.PRNGKey(0), 2)
+
+        B, T = 4, 60
+        outs = {}
+        for name in ("onehot", impl):
+            env = BallbotEnv(EnvParams(max_ep_steps=50, terrain_taps=name))
+            keys = jax.random.split(jax.random.PRNGKey(2), B)
+            states, _ = jax.jit(env.batch_reset)(bank, keys)
+
+            @jax.jit
+            def roll(states, env=env):
+                def f(carry, t):
+                    states, key = carry
+                    key, k = jax.random.split(key)
+                    a = jax.random.uniform(k, (B, 3), minval=-1, maxval=1)
+                    states, obs, r, d, _ = env.batch_step(bank, states, a)
+                    return (states, key), (states.phys.base_pos, r, d)
+                _, ys = jax.lax.scan(f, (states, jax.random.PRNGKey(3)),
+                                     jnp.arange(T))
+                return ys
+
+            outs[name] = jax.tree.map(np.asarray, roll(states))
+        for va, vb in zip(outs["onehot"], outs[impl]):
+            np.testing.assert_array_equal(va, vb)
+
+
 class TestEnvPatchEquivalence:
     def test_trajectory_bitwise_vs_bank_sampler(self, terrain):
         """200 batched steps across refresh boundaries and auto-resets:

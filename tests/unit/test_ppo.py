@@ -26,6 +26,28 @@ def test_lr_schedule_breakpoints():
     assert float(lr_schedule(0.3)) == pytest.approx(1e-5)
 
 
+def test_lr_anneal():
+    """Round-5 post-curriculum LR anneal: fixed before lr_anneal_start,
+    linear to lr_final at the end, off by default."""
+    from openballbot_rl_tpu.train.ppo import current_lr
+
+    cfg = PPOConfig(learning_rate=3e-4, lr_anneal_start=0.6, lr_final=3e-5,
+                    total_timesteps=100)
+    gs = lambda p: jnp.asarray(int(p * 100), jnp.int32)
+    assert float(current_lr(cfg, gs(0.0))) == pytest.approx(3e-4)
+    assert float(current_lr(cfg, gs(0.6))) == pytest.approx(3e-4)
+    assert float(current_lr(cfg, gs(0.8))) == pytest.approx(
+        0.5 * (3e-4 + 3e-5), rel=1e-5)
+    assert float(current_lr(cfg, gs(1.0))) == pytest.approx(3e-5, rel=1e-5)
+    # default: anneal off, fixed LR everywhere
+    cfg_off = PPOConfig(learning_rate=3e-4, total_timesteps=100)
+    assert float(current_lr(cfg_off, gs(1.0))) == pytest.approx(3e-4)
+    # manual reference schedule unaffected (learning_rate <= 0)
+    cfg_man = PPOConfig(learning_rate=-1, lr_anneal_start=0.6,
+                        total_timesteps=100)
+    assert float(current_lr(cfg_man, gs(0.9))) == pytest.approx(1e-5)
+
+
 def test_gae_against_reference_impl(algo):
     ppo, _ = algo
     T, B = 6, 3

@@ -1,7 +1,10 @@
 """Measure the lax.cond overhead in the vision step (round 4).
 
-The rollout trace shows `conditional.2` costing ~3.4 ms/step at B=1024
-even on keep (non-render) steps. A/B three 24-step rollouts inside one
+Hypothesis under test: a rollout trace appeared to show `conditional.2`
+costing ~3.4 ms/step at B=1024 even on keep steps. VERDICT (measured):
+the cond is ~free — the trace row was a parent/child double-count; the
+static schedule ran slightly SLOWER (4.34 vs 3.92 ms/step,
+performance.md post-mortem). A/B three 24-step rollouts inside one
 jit each:
   cond      — production batch_step (dynamic scalar cadence cond)
   static    — same steps with the render DECISION made at trace time
