@@ -172,7 +172,11 @@ def main() -> int:
     T = int(os.environ.get("BENCH_STEPS", "100"))
     REPS = int(os.environ.get("BENCH_REPS", "5"))
 
-    env = BallbotEnv(EnvParams())          # 4000-step episodes, 20 deg tilt
+    # terrain taps: BENCH_TAPS overrides (onehot | pallas_rows |
+    # pallas_fused — all bit-identical, ops/pallas_taps.py); the default is
+    # whatever tools/bench_taps.py certified fastest on this chip
+    taps = os.environ.get("BENCH_TAPS", "onehot")
+    env = BallbotEnv(EnvParams(terrain_taps=taps))  # 4000-step eps, 20 deg
     gen = create_terrain({"type": "perlin", "config": {
         "scale": 25.0, "octaves": 4, "persistence": 0.2, "lacunarity": 2.0}})
     bank = make_terrain_bank(gen, env.model.hfield_n, 2.0,

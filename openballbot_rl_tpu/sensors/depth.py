@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +51,17 @@ from openballbot_rl_tpu.physics.rotations import quat_to_mat
 # x 3.7 cm — comparable to the 64x64 camera's own pixel footprint at the 1 m
 # depth clip
 _NTH, _NS = 96, 48
+
+# RGB compat-mode palette, calibrated per object class against the
+# reference's real OpenGL renders (tools/fit_rgb_palette.py; the reference
+# scene is near-grayscale: default gray background/terrain material and the
+# dark basketball texture). Values overwritten by the round-5 fit.
+_RGB_PALETTE = {
+    "terrain": (0.430, 0.430, 0.430),
+    "ball": (0.208, 0.131, 0.093),
+    "sky": (0.433, 0.433, 0.433),
+    "ambient": 0.709,
+}
 
 # cache of constant patch->polar resample matrices, keyed by geometry
 _POLAR_W_CACHE: dict = {}
@@ -273,26 +284,35 @@ class DepthCameras:
 
         return jnp.stack([render_cam(0), render_cam(1)])
 
-    def render_rgbd(self, sampler: Callable, base_pos, base_quat, ball_pos):
+    def render_rgbd(self, sampler: Callable, base_pos, base_quat, ball_pos,
+                    palette: Optional[dict] = None):
         """Full RGBD obs: (2, 4, H, W) with channels [R, G, B, depth].
 
         Counterpart of the reference's RGB+depth camera mode
         (depth_only=False, ballbot_env.py:123; rgbd.py:45-83 renders RGB via
-        OpenGL and stacks the depth channel). Here RGB is Lambertian-shaded
-        raycasting against {terrain, ball} with a sky background — the same
-        shading model as the offline scene renderer (viz/scene.py). Exact
-        marcher only (the patch fast path produces no hit points); the
-        depth channel matches __call__ exactly. This is a compatibility
-        path: the paper's input and every training config use depth-only.
+        OpenGL and stacks the depth channel). RGB is raycast against
+        {terrain, ball} with HEADLIGHT Lambert shading (light from the
+        camera — MuJoCo's default scene light) and a palette CALIBRATED
+        per-class against the reference's real OpenGL renders
+        (tools/cross_renderer_rgb.py / fit_rgb_palette.py: the reference
+        scene is near-grayscale — gray terrain and background, dark
+        textured basketball). Exact marcher only (the patch fast path
+        produces no hit points); the depth channel matches __call__
+        exactly. This is a compatibility path: the paper's input and every
+        training config use depth-only.
+
+        palette: override dict with keys terrain/ball/sky (RGB triples)
+        and ambient (float) — defaults to the calibrated _RGB_PALETTE.
         """
         cfg = self.cfg
         R = quat_to_mat(base_quat)
-        col_terrain = jnp.array([0.55, 0.47, 0.36])
-        col_ball = jnp.array([0.85, 0.45, 0.15])
-        col_sky = jnp.array([0.65, 0.80, 0.95])
-        sun = jnp.asarray(np.array([0.35, 0.25, 0.9])
-                          / np.linalg.norm([0.35, 0.25, 0.9]), jnp.float32)
-        ambient = 0.35
+        pal = dict(_RGB_PALETTE)
+        if palette:
+            pal.update(palette)
+        col_terrain = jnp.asarray(pal["terrain"], jnp.float32)
+        col_ball = jnp.asarray(pal["ball"], jnp.float32)
+        col_sky = jnp.asarray(pal["sky"], jnp.float32)
+        ambient = float(pal["ambient"])
 
         def render_cam(cam_idx):
             origin, dirs_w = self._cam_rays(cam_idx, base_pos, R)
@@ -314,8 +334,10 @@ class DepthCameras:
             n_ball = (p - ball_pos) / self.ball_radius
             n = jnp.where(ball_front[..., None], n_ball, n_terr)
 
+            # headlight: light travels along the ray, surfaces facing the
+            # camera are lit — cos = n . (-ray_dir)
             lambert = ambient + (1.0 - ambient) * jnp.maximum(
-                0.0, jnp.einsum("hwi,i->hw", n, sun))
+                0.0, -jnp.einsum("hwi,hwi->hw", n, dirs_w))
             base_col = jnp.where(ball_front[..., None], col_ball, col_terrain)
             rgb = jnp.where(hit_any[..., None], base_col * lambert[..., None],
                             col_sky)

@@ -181,22 +181,29 @@ class TestRGBD:
     def test_sky_pixels_are_sky(self, cams, flat_sampler):
         # camera high above the ground: every ray's march exhausts t_max
         # before reaching terrain -> all pixels miss -> exact sky color
-        # (0.65, 0.80, 0.95) and depth at the clip
+        # (the reference-calibrated _RGB_PALETTE) and depth at the clip
+        from openballbot_rl_tpu.sensors.depth import _RGB_PALETTE
+
         out = self._rgbd(cams, flat_sampler, (0.0, 0.0, 3.0))
-        np.testing.assert_allclose(out[:, 0], 0.65, atol=1e-6)
-        np.testing.assert_allclose(out[:, 1], 0.80, atol=1e-6)
-        np.testing.assert_allclose(out[:, 2], 0.95, atol=1e-6)
+        for c in range(3):
+            np.testing.assert_allclose(out[:, c], _RGB_PALETTE["sky"][c],
+                                       atol=1e-6)
         np.testing.assert_allclose(out[:, 3], 1.0, atol=1e-6)
 
     def test_ball_pixels_are_ball_colored(self, cams, flat_sampler):
-        # ball dead ahead below the cameras: hit pixels take the warm ball
-        # color (red > green > blue), terrain pixels the brownish tone
+        # ball dead ahead below the cameras: ball pixels take the warm dark
+        # basketball tone (red > green > blue — calibrated _RGB_PALETTE);
+        # terrain pixels are neutral gray (r == g == b)
         out = self._rgbd(cams, flat_sampler, (0.0, 0.0, 0.4),
                          (0.0, 0.15, 0.09))
         hit = out[0, 3] < 1.0 - 1e-6
         assert hit.any()
         r, g, b = out[0, 0][hit], out[0, 1][hit], out[0, 2][hit]
-        assert (r > b).all()                    # both materials are warm
+        ball = r > b + 1e-6                     # warm pixels = the ball
+        assert ball.any()
+        assert (r[ball] > g[ball]).all() and (g[ball] > b[ball]).all()
+        neutral = ~ball
+        np.testing.assert_allclose(r[neutral], b[neutral], atol=1e-6)
 
     def test_shading_varies_with_slope(self, cams):
         # a bumpy terrain must produce non-constant terrain shading
