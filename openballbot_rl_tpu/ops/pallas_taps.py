@@ -44,35 +44,37 @@ def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _taps_body(patch, li0, li1, lj0, lj1):
-    """Factorized one-hot taps on an in-register (BLK, P, P) patch.
+def _taps_body(rows, li0, li1, lj0, lj1):
+    """One-hot taps on in-VMEM (BLK, P*P) tile rows, FLAT layout.
 
     li0/li1/lj0/lj1: (BLK, 6) int32 local patch coords (pre-clamped to
     [0, P-1] by the caller, same as make_patch_sampler).
     Returns (BLK, 24) f32: [t00 | t01 | t10 | t11] blocks of 6.
+
+    Stays in the rows' native (BLK, 1024) layout — 1024 = 8 sublanes x
+    128 lanes exactly, full VPU utilization — because Mosaic rejects the
+    (BLK, 1024) -> (BLK, 32, 32) shape cast the factorized row/column
+    formulation needs (infer-vector-layout: unsupported shape cast, seen
+    on v5e). The flat one-hot is the same formulation the production XLA
+    path uses (hfield.make_patch_sampler), so bit-parity is structural.
     """
-    BLK = patch.shape[0]
-    riota = jax.lax.broadcasted_iota(jnp.int32, (BLK, P, P), 1)
-    ciota = jax.lax.broadcasted_iota(jnp.int32, (BLK, P), 1)
-    t00, t01, t10, t11 = [], [], [], []
-    for k in range(6):                      # static unroll: 6 query points
-        m0 = riota == li0[:, k][:, None, None]
-        m1 = riota == li1[:, k][:, None, None]
-        # row selection: one masked sublane reduction per row index
-        r0 = jnp.sum(jnp.where(m0, patch, 0.0), axis=1)      # (BLK, P)
-        r1 = jnp.sum(jnp.where(m1, patch, 0.0), axis=1)
-        c0 = ciota == lj0[:, k][:, None]
-        c1 = ciota == lj1[:, k][:, None]
-        t00.append(jnp.sum(jnp.where(c0, r0, 0.0), axis=1))
-        t01.append(jnp.sum(jnp.where(c1, r0, 0.0), axis=1))
-        t10.append(jnp.sum(jnp.where(c0, r1, 0.0), axis=1))
-        t11.append(jnp.sum(jnp.where(c1, r1, 0.0), axis=1))
-    return jnp.stack(t00 + t01 + t10 + t11, axis=1)          # (BLK, 24)
+    BLK = rows.shape[0]
+    cell = jax.lax.broadcasted_iota(jnp.int32, (BLK, PP), 1)
+
+    def corner(ii, jj):
+        cols = []
+        for k in range(6):                  # static unroll: 6 query points
+            f = (ii[:, k] * P + jj[:, k])[:, None]           # (BLK, 1)
+            cols.append(jnp.sum(jnp.where(cell == f, rows, 0.0), axis=1))
+        return cols
+
+    return jnp.stack(corner(li0, lj0) + corner(li0, lj1)
+                     + corner(li1, lj0) + corner(li1, lj1),
+                     axis=1)                                 # (BLK, 24)
 
 
 def _rows_kernel(rows_ref, li0_ref, li1_ref, lj0_ref, lj1_ref, out_ref):
-    patch = rows_ref[:].reshape(rows_ref.shape[0], P, P)
-    out_ref[:] = _taps_body(patch, li0_ref[:], li1_ref[:],
+    out_ref[:] = _taps_body(rows_ref[:], li0_ref[:], li1_ref[:],
                             lj0_ref[:], lj1_ref[:])
 
 
@@ -114,7 +116,14 @@ def patch_taps_rows(rows, li0, li1, lj0, lj1, block: int = 256,
 
 def _fused_kernel(flat_ref, li0_ref, li1_ref, lj0_ref, lj1_ref,
                   tiles_ref, out_ref, scratch, sems):
-    """DMA-gather each env's tile row HBM->VMEM, then tap in VMEM."""
+    """DMA-gather each env's tile row HBM->VMEM, then tap in VMEM.
+
+    tiles_ref is the bank viewed as (R, 8, 128): with the row split into
+    one (sublane, lane) tile, dim 0 is UNTILED, so a single-row DMA slice
+    is legal (the 2-D (R, 1024) view is tiled (8, 128) along its own dims
+    and Mosaic requires dim-0 slices in multiples of 8). The taps then
+    run on the (blk, 8, 128) scratch with a 3-D iota — no shape casts.
+    """
     from jax.experimental.pallas import tpu as pltpu
 
     blk = scratch.shape[0]
@@ -131,9 +140,26 @@ def _fused_kernel(flat_ref, li0_ref, li1_ref, lj0_ref, lj1_ref,
 
     jax.lax.fori_loop(0, blk, start, None)
     jax.lax.fori_loop(0, blk, wait, None)
-    patch = scratch[:].reshape(blk, P, P)
-    out_ref[:] = _taps_body(patch, li0_ref[:], li1_ref[:],
-                            lj0_ref[:], lj1_ref[:])
+
+    rows = scratch[:]                                       # (blk, 8, 128)
+    lanes = rows.shape[-1]
+    cell = (jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1) * lanes
+            + jax.lax.broadcasted_iota(jnp.int32, rows.shape, 2))
+
+    def corner(ii, jj):
+        cols = []
+        for k in range(6):                  # static unroll: 6 query points
+            f = (ii[:, k] * P + jj[:, k])[:, None, None]    # (blk, 1, 1)
+            masked = jnp.where(cell == f, rows, 0.0)
+            # reduce one axis at a time: Mosaic's layout inference aborts
+            # (layout.h check) on a rank-3 multi-axis reduction here
+            cols.append(jnp.sum(jnp.sum(masked, axis=2), axis=1))
+        return cols
+
+    li0, li1 = li0_ref[:], li1_ref[:]
+    lj0, lj1 = lj0_ref[:], lj1_ref[:]
+    out_ref[:] = jnp.stack(corner(li0, lj0) + corner(li0, lj1)
+                           + corner(li1, lj0) + corner(li1, lj1), axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
@@ -168,10 +194,11 @@ def tile_taps_fused(tiles, flat, li0, li1, lj0, lj1, block: int = 256,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((blk, 24), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((blk, PP), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((blk, 8, PP // 8), jnp.float32),
                         pltpu.SemaphoreType.DMA((blk,))],
         interpret=interpret,
-    )(flat.reshape(B, 1).astype(jnp.int32), li0, li1, lj0, lj1, tiles)
+    )(flat.reshape(B, 1).astype(jnp.int32), li0, li1, lj0, lj1,
+      tiles.reshape(tiles.shape[0], 8, PP // 8))
     return out[:, 0:6], out[:, 6:12], out[:, 12:18], out[:, 18:24]
 
 

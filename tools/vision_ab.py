@@ -78,8 +78,11 @@ def main() -> int:
         """do_render_mode: None (blind env), 'dynamic', False, True."""
         is_vision = hasattr(env, "vp")
 
+        # bank is a jit ARGUMENT, not a closure capture: closed-over device
+        # arrays are embedded as HLO constants, and the ~300 MB tile+cam-tile
+        # bank blows the axon relay's remote_compile body limit (HTTP 413).
         @jax.jit
-        def rollout(params, states, obs, key):
+        def rollout(params, bank, states, obs, key):
             def f(carry, _):
                 states, obs, key = carry
                 key, k = jax.random.split(key)
@@ -134,11 +137,11 @@ def main() -> int:
         for name, (fn, params, st, obs) in variants.items():
             k = jax.random.PRNGKey(3)
             t0 = time.time()
-            float(jax.device_get(fn(params, st, obs, k)))   # compile+warm
+            float(jax.device_get(fn(params, bank, st, obs, k)))  # compile+warm
             compile_s = time.time() - t0
             t0 = time.time()
             for _ in range(REPS):
-                float(jax.device_get(fn(params, st, obs, k)))
+                float(jax.device_get(fn(params, bank, st, obs, k)))
             dt = (time.time() - t0) / REPS
             ms_step = dt * 1e3 / T
             row[name] = ms_step
