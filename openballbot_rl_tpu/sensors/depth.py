@@ -109,33 +109,48 @@ def _polar_resample_matrix(cell: float, t_max: float, P: int):
 
 def _ray_profile_crossing(cz, m, eps, h_ray, radii):
     """First crossing of ray z(s) = cz + m*(s - eps) with the piecewise-
-    linear height profile h(s) sampled at `radii`. h_ray: (HW, NS), any
+    linear height profile h(s) sampled at `radii`. h_ray: (..., NS), any
     float dtype (bf16 upcast in the fused expression). Returns
     (hit_any, s_star) with s_star = 0 where the ray starts at/below the
     profile (masked 0 where it never crosses).
 
-    Performance shape: the first down-crossing is the masked MIN of
+    Performance shape (round-5 revision, from the fixed profile_render
+    trace at B=1024): the first down-crossing is the masked MIN of
     per-segment closed-form crossing points (later crossings have larger s
     by construction), so no cummax/first-true machinery is needed —
     lax.cummax lowers to a log-depth associative scan that re-materializes
     the (HW, NS) working set ~6x in HBM and dominated the batched render
-    (7.9 of 15 ms at B=512). Segments use g[:, :-1]/g[:, 1:] SLICES, never
-    concatenate (a concat materializes a second copy of g and breaks XLA
-    fusion); the whole function fuses into ~two passes over h_ray.
+    (7.9 of 15 ms at B=512). Two further rules keep the pass
+    bandwidth-minimal:
+      * ga/gb are computed from h_ray SLICES independently — forming the
+        full g = ray - h_ray array first makes XLA MATERIALIZE it in f32
+        (2x the bf16 h_ray) and read it back for the reduction: 8.0 of
+        17.7 ms per B=1024 render. Recomputing the ray term per slice is
+        ~free VPU work; the arithmetic (and thus the output) is bit-
+        identical.
+      * leading dims are NOT flattened: callers pass (..., NS) shapes
+        as-is. The old (B, 2, HW, NS) -> (B, 2*HW, NS) reshape forced a
+        2.6 ms layout copy of h_ray between the tent einsum and this pass.
+    Never concatenate segments (a concat materializes a second copy and
+    breaks XLA fusion).
     """
     cz = jnp.broadcast_to(jnp.asarray(cz, m.dtype), m.shape)   # per-ray ok
-    r = radii[None, :]
-    g = (cz[:, None] + m[:, None] * (r - eps[:, None])
-         - h_ray.astype(jnp.float32))
-    ga, gb = g[:, :-1], g[:, 1:]
+    # identical association to the old fused g = cz + m*(r - eps) - h, so
+    # outputs are bitwise unchanged; only the fusion structure differs
+    czb, mb, eb = cz[..., None], m[..., None], eps[..., None]
+    ga = czb + mb * (radii[None, :-1] - eb) \
+        - h_ray[..., :-1].astype(jnp.float32)
+    gb = czb + mb * (radii[None, 1:] - eb) \
+        - h_ray[..., 1:].astype(jnp.float32)
     cross = (ga > 0.0) & (gb <= 0.0)
     denom = ga - gb                                 # > 0 wherever cross
     frac = jnp.clip(ga / jnp.where(denom > 1e-9, denom, 1.0), 0.0, 1.0)
-    s_cross = radii[:-1][None, :] + (radii[1:] - radii[:-1])[None, :] * frac
-    s_min = jnp.min(jnp.where(cross, s_cross, jnp.inf), axis=1)
+    s_cross = radii[:-1] + (radii[1:] - radii[:-1]) * frac
+    s_min = jnp.min(jnp.where(cross, s_cross, jnp.inf), axis=-1)
     # virtual segment from s=0 with h held at h(radii[0])
-    g0 = g[:, 0]
-    gp0 = cz - m * eps - h_ray[:, 0].astype(jnp.float32)
+    h0 = h_ray[..., 0].astype(jnp.float32)
+    g0 = cz + m * (radii[0] - eps) - h0
+    gp0 = cz - m * eps - h0
     d0 = gp0 - g0
     f0 = jnp.clip(gp0 / jnp.where(d0 > 1e-9, d0, 1.0), 0.0, 1.0)
     s0 = jnp.where((gp0 > 0.0) & (g0 <= 0.0), radii[0] * f0, jnp.inf)
@@ -397,15 +412,14 @@ class DepthCameras:
         # --- first crossing: exact per-segment closed form via one masked
         # min-reduction (_ray_profile_crossing), fully dense (TPU gathers
         # run ~78M elem/s; argmax + take_along_axis here cost >100 ms per
-        # batched render). Cams flatten into the ray axis.
-        m = (d[..., 2] / dxy).reshape(-1)                     # (2*HW,)
-        eps = ((d[..., 0] * dx[:, None] + d[..., 1] * dy[:, None])
-               / dxy).reshape(-1)
-        czv = jnp.repeat(origins[:, 2], HW)
-        hit_any, s_star = _ray_profile_crossing(
-            czv, m, eps, h_ray.reshape(-1, _NS), radii)
-        t_terr = jnp.where(hit_any, (s_star - eps) / dxy.reshape(-1),
-                           jnp.inf).reshape(2, HW)
+        # batched render). Keep the (2, HW, NS) shape — flattening cams
+        # into the ray axis forced a ~2.6 ms h_ray layout copy per B=1024
+        # render (round-5 profile_render trace).
+        m = d[..., 2] / dxy                                   # (2, HW)
+        eps = (d[..., 0] * dx[:, None] + d[..., 1] * dy[:, None]) / dxy
+        czv = jnp.broadcast_to(origins[:, 2][:, None], m.shape)
+        hit_any, s_star = _ray_profile_crossing(czv, m, eps, h_ray, radii)
+        t_terr = jnp.where(hit_any, (s_star - eps) / dxy, jnp.inf)
 
         t_hit = jnp.minimum(t_ball, jnp.maximum(t_terr, cfg.znear))
         depth = t_hit * self._axial.reshape(-1)[None, :]

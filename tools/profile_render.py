@@ -49,10 +49,15 @@ def main() -> int:
     @functools.partial(jax.jit, static_argnums=2)
     def render(bank, core, reps):
         def f(acc, _):
+            # acc feeds base_pos: without this the body is loop-invariant
+            # and XLA hoists the render out of the scan — the round-4 run
+            # of this tool traced ONE render amortized over REPS and
+            # under-read the cost ~10x (1.76 "ms/render" at B=1024 was
+            # really one ~18 ms render / 10 reps)
             d = jax.vmap(lambda i, p, q, bp: env.cams.render_tiles(
                 bank.cam_tiles, i, Tc, n, he, 2.0, p, q, bp))(
-                core.terrain_idx, core.phys.base_pos, core.phys.base_quat,
-                core.phys.ball_pos)
+                core.terrain_idx, core.phys.base_pos + acc * 1e-30,
+                core.phys.base_quat, core.phys.ball_pos)
             return acc + jnp.sum(d.astype(jnp.float32)), None   # FULL sum: a sliced accumulator lets XLA dead-code most of the render
         acc, _ = jax.lax.scan(f, jnp.zeros(()), None, length=reps)
         return acc
