@@ -199,8 +199,26 @@ def main(config: Dict, seed: int, out_dir: Optional[str] = None,
                 raise SystemExit("aborted")
         os.makedirs(out_dir, exist_ok=True)
         os.makedirs(os.path.join(out_dir, "results"), exist_ok=True)
+        dump_cfg = config
+        if cur_param:
+            # Bake the curriculum END value into the archived terrain
+            # section. The source config leaves <cur_param> unset (bank_at
+            # injects it per build), so without this every downstream
+            # checkpoint consumer (ballbot-eval / -visualize / -collect /
+            # live-view) reading config.yaml would silently fall back to
+            # the generator's DEFAULT — amplitude 1.0 for perlin, 4x a
+            # 0.25-curriculum's target difficulty (round-5 re-eval bug).
+            # END matches the in-run eval bank (bank_at(schedule.end)),
+            # i.e. the difficulty the run's eval numbers refer to.
+            import copy
+
+            dump_cfg = copy.deepcopy(config)
+            for node in (dump_cfg.get("problem", {}).get("terrain"),
+                         dump_cfg.get("terrain")):
+                if isinstance(node, dict):
+                    node.setdefault("config", {})[cur_param] = schedule.end
         with open(os.path.join(out_dir, "config.yaml"), "w") as f:
-            yaml.safe_dump(config, f)
+            yaml.safe_dump(dump_cfg, f)
         with open(os.path.join(out_dir, "info.txt"), "w") as f:
             f.write(f"seed: {seed}\nppo: {dataclasses.asdict(cfg)}\n"
                     f"devices: {jax.devices()}\nstarted: {datetime.now()}\n")

@@ -49,11 +49,28 @@ def restore_checkpoint(path: str, target: Any) -> Any:
 
 def load_params_raw(path: str) -> Any:
     """Load just the `params` subtree of a saved RunnerState checkpoint
-    without needing a full template (for eval/collect/visualization CLIs)."""
+    without needing a full template (for eval/collect/visualization CLIs).
+
+    Falls back to a host (numpy) restore when the template-free device
+    restore refuses — orbax requires concrete shardings to deserialize a
+    checkpoint written on another backend, so evaluating a TPU-trained
+    checkpoint from a CPU process (CI, local analysis while the chip is
+    busy) lands in the fallback; jit device-puts the numpy leaves on use.
+    """
     import orbax.checkpoint as ocp
 
+    path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
-    tree = ckptr.restore(os.path.abspath(path))
+    try:
+        tree = ckptr.restore(path)
+    except ValueError:
+        import numpy as np
+
+        meta = ckptr.metadata(path).item_metadata
+        meta = meta.tree if hasattr(meta, "tree") else meta
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+        tree = ckptr.restore(path, restore_args=restore_args)
     if isinstance(tree, dict) and "params" in tree:
         return tree["params"]
     return tree
